@@ -1,0 +1,77 @@
+"""Command-line driver: `python -m pathintegralgroundstate_tpu <vpi.in>`.
+
+Accepts the reference's namelist input files unchanged (vpi.in:1-37) plus an
+optional `&tpu` namelist group / command-line overrides for the TPU-native
+keys (n_walkers, dtype, mesh, ...).  Mirrors the reference's startup banner
+(vpi.f90:161-194).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import SimConfig, load_namelist_config
+from .driver import Driver
+
+
+def _parse_override(kv: str):
+    key, val = kv.split("=", 1)
+    for cast in (int, float):
+        try:
+            return key, cast(val)
+        except ValueError:
+            pass
+    if val.lower() in ("true", "t"):
+        return key, True
+    if val.lower() in ("false", "f"):
+        return key, False
+    return key, val
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="pathintegralgroundstate_tpu",
+        description="TPU-native PIGS/VPI quantum Monte Carlo")
+    ap.add_argument("input", nargs="?", help="namelist input file (vpi.in format)")
+    ap.add_argument("-o", "--out-dir", default=".", help="output directory")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    help="config override (repeatable), e.g. --set n_walkers=1024")
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="override number of blocks")
+    args = ap.parse_args(argv)
+
+    overrides = dict(_parse_override(kv) for kv in args.set)
+    if args.input:
+        cfg = load_namelist_config(args.input, **overrides)
+    else:
+        cfg = SimConfig(**overrides)
+
+    print("==============================================================")
+    print("                  VPI Monte Carlo (TPU-native)                ")
+    print("==============================================================")
+    algo = "STAGING" if cfg.sampling == "sta" else "BISECTION"
+    print(f"# Sampling algorithm  : {algo}")
+    print(f"# Swap updates        : {cfg.swapping}")
+    print("# Simulation parameters:")
+    print(f"  > Dimensions          : {cfg.dim}")
+    print(f"  > Number of particles : {cfg.Np}")
+    print(f"  > Walker ensemble     : {cfg.n_walkers}")
+    if cfg.trap:
+        print(f"  > Trapping length     : {cfg.a_ho}")
+    else:
+        print(f"  > Density             : {cfg.density}")
+    print(f"  > Number of beads     : {cfg.Nb}")
+    print(f"  > Time step           : {cfg.dt}")
+    print(f"  > Number of blocks    : {cfg.Nblock}")
+    print(f"  > MC steps per block  : {cfg.Nstep}")
+
+    drv = Driver(cfg, out_dir=args.out_dir)
+    if not cfg.trap:
+        print(f"  > Size of the box     : {drv.system.geo.Lbox}")
+    drv.run(args.blocks)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

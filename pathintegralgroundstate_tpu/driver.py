@@ -1,0 +1,300 @@
+"""Simulation driver: block loop, statistics, reporting, outputs, checkpoint.
+
+Mirrors the reference driver (vpi.f90:244-653): per-block accumulators and
+their normalization (vpi.f90:477-545), the console block report with
+acceptance telemetry (vpi.f90:552-586), the output files `e_vpi.out`,
+`et_vpi.out`, `gr_vpi.out`, `sk_vpi.out`, `nr_vpi.out` with identical
+columns (sample_mod.f90:794-870), the permutation histogram (vpi.f90:590-592
+wrote Fortran unit 99 -> `perm_histogram.out` here), a structured
+`metrics.jsonl`, and per-block checkpoint/resume.
+
+The whole block (Nstep sweeps) is one jit-compiled scan: a single device
+dispatch per block, with only the block-level scalars/histograms coming back
+to the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+from .state import MCState, init_state
+from .sweep import _CIDX, Sweeper, run_block, zero_stats
+from .system import System, Tables, make_system, make_tables
+
+
+def var(nitem, s, s2):
+    """Var = sqrt((<x^2> - <x>^2)/N) (sample_mod.f90:921-932)."""
+    if nitem <= 0:
+        return 0.0
+    return math.sqrt(max((s2 - s * s) / nitem, 0.0))
+
+
+def shell_norm(dim: int, density: float, rbin: float, nbin: int):
+    """Ideal-gas shell weights nid[ibin] (NormalizeGr, sample_mod.f90:656-679)."""
+    k_n = math.pi ** (0.5 * dim) / math.gamma(0.5 * dim + 1.0)
+    r = (np.arange(1, nbin + 1) - 0.5) * rbin
+    return density * k_n * ((r + 0.5 * rbin) ** dim - (r - 0.5 * rbin) ** dim)
+
+
+class Driver:
+    def __init__(self, cfg: SimConfig, out_dir: str = ".",
+                 init_positions=None, verbose: bool = True):
+        if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.verbose = verbose
+        os.makedirs(out_dir, exist_ok=True)
+        self.system: System = make_system(cfg)
+        self.tables: Tables = make_tables(self.system)
+        self.sweeper = Sweeper(self.system, self.tables)
+        self._write_tables()
+
+        ckpt = os.path.join(out_dir, "checkpoint.npz")
+        if cfg.resume and os.path.exists(ckpt):
+            self.state, self.acc = self.load_checkpoint(ckpt)
+        else:
+            self.state = init_state(self.system, init_positions=init_positions)
+            self.acc = self._zero_global()
+
+        self._block_fn = jax.jit(
+            lambda st: run_block(self.system, self.tables, self.sweeper, st,
+                                 cfg.Nstep))
+
+    # ------------------------------------------------------------------
+
+    def _zero_global(self):
+        cfg = self.cfg
+        return dict(
+            diag_bl=0, obdm_bl=0, iblock=0,
+            AvE=0.0, AvK=0.0, AvV=0.0, AvE2=0.0, AvK2=0.0, AvV2=0.0,
+            AvEt=0.0, AvKt=0.0, AvVt=0.0, AvEt2=0.0, AvKt2=0.0, AvVt2=0.0,
+            AvGr=np.zeros(cfg.Nbin), AvGr2=np.zeros(cfg.Nbin),
+            AvSk=np.zeros((cfg.dim, cfg.Nk)), AvSk2=np.zeros((cfg.dim, cfg.Nk)),
+            AvNr=np.zeros((cfg.Npw + 1, cfg.Nbin)),
+            AvNr2=np.zeros((cfg.Npw + 1, cfg.Nbin)),
+            perm_hist=np.zeros(cfg.Np),
+        )
+
+    def _write_tables(self):
+        """Echo tables like JastrowTable/PotentialTable (jastrow.out,
+        potential.out; vpi_mod.f90:96,129)."""
+        geo = self.system.geo
+        n = min(self.cfg.Nmax, 10000)
+        if self.tables.logwf is not None:
+            r = (np.arange(1, n + 1) - 1) * geo.dr
+            wf = np.asarray(self.tables.logwf[1:n + 1])
+            np.savetxt(os.path.join(self.out_dir, "jastrow.out"),
+                       np.column_stack([r, np.exp(wf), wf]))
+        if self.tables.vtab is not None:
+            r = (np.arange(1, n + 1) - 1) * geo.dr
+            np.savetxt(os.path.join(self.out_dir, "potential.out"),
+                       np.column_stack([r, np.asarray(self.tables.vtab[1:n + 1])]))
+
+    # ------------------------------------------------------------------
+
+    def run(self, nblocks: int | None = None):
+        cfg = self.cfg
+        nblocks = nblocks if nblocks is not None else cfg.Nblock
+        e_path = os.path.join(self.out_dir, "e_vpi.out")
+        et_path = os.path.join(self.out_dir, "et_vpi.out")
+        jl_path = os.path.join(self.out_dir, "metrics.jsonl")
+        mode = "a" if cfg.resume else "w"
+        with open(e_path, mode) as fe, open(et_path, mode) as fet, \
+                open(jl_path, mode) as fjl:
+            for _ in range(nblocks):
+                self._run_one_block(fe, fet, fjl)
+        self.finalize()
+        return self.acc
+
+    def _run_one_block(self, fe, fet, fjl):
+        cfg = self.cfg
+        acc = self.acc
+        t0 = time.time()
+        self.state, stats = self._block_fn(self.state)
+        jax.block_until_ready(stats.counters)
+        dt_block = time.time() - t0
+        acc["iblock"] += 1
+        ib = acc["iblock"]
+
+        nd = float(stats.n_diag)
+        blk = {}
+        if nd > 0:
+            for nm in ("E", "K", "V", "Et", "Kt", "Vt"):
+                s = float(getattr(stats, f"sum{nm}")) / nd
+                s2 = float(getattr(stats, f"sum{nm}2")) / nd
+                blk[f"Av{nm}"] = s
+                blk[f"Var{nm}"] = var(nd, s, s2)
+            acc["diag_bl"] += 1
+            for nm in ("E", "K", "V", "Et", "Kt", "Vt"):
+                acc[f"Av{nm}"] += blk[f"Av{nm}"]
+                acc[f"Av{nm}2"] += blk[f"Av{nm}"] ** 2
+
+            if not cfg.trap:
+                ngr = float(stats.ngr)
+                nid = shell_norm(cfg.dim, self.system.geo.density,
+                                 self.system.geo.rbin, cfg.Nbin)
+                gr = np.asarray(stats.gr) / (nid * cfg.Np * max(ngr, 1.0))
+                acc["AvGr"] += gr
+                acc["AvGr2"] += gr * gr
+                sk = np.asarray(stats.sk) / (cfg.Np * max(ngr, 1.0))
+                acc["AvSk"] += sk
+                acc["AvSk2"] += sk * sk
+
+            fe.write("%20.10e%20.10e%20.10e%20.10e\n" % (
+                ib, blk["AvE"] / cfg.Np, blk["AvK"] / cfg.Np, blk["AvV"] / cfg.Np))
+            fet.write("%20.10e%20.10e%20.10e%20.10e\n" % (
+                ib, blk["AvEt"] / cfg.Np, blk["AvKt"] / cfg.Np, blk["AvVt"] / cfg.Np))
+
+        # OBDM super-block (vpi.f90:522-539)
+        if cfg.CWorm > 0.0 and not cfg.trap and nd > 0:
+            acc["obdm_bl"] += 1
+            nid = shell_norm(cfg.dim, self.system.geo.density,
+                             self.system.geo.rbin, cfg.Nbin)
+            nrho = np.asarray(stats.nrho) / (
+                cfg.CWorm * nid[None, :] * nd * max(cfg.Nobdm, 1))
+            acc["AvNr"] += nrho
+            acc["AvNr2"] += nrho * nrho
+
+        acc["perm_hist"] += np.asarray(stats.perm_hist)
+
+        ctr = np.asarray(stats.counters, dtype=np.int64)
+        c = {n: int(ctr[i]) for n, i in _CIDX.items()}
+        W = cfg.n_walkers
+        nsteps_tot = cfg.Nstep * W
+        rec = dict(block=ib, time_s=dt_block, n_diag=nd,
+                   diag_frac=nd / nsteps_tot, **{k: v / cfg.Np for k, v in
+                                                 blk.items()}, **c)
+        # throughput: bead updates attempted per second
+        moves_per_step = (cfg.Np * (1 + 3 * cfg.Nstag))
+        window = (2 ** cfg.Nlev if cfg.sampling == "bis" else cfg.Lstag)
+        rec["bead_updates"] = cfg.Nstep * W * cfg.Np * (
+            1 * self.system.M // max(cfg.CMFreq, 1)
+            + 3 * cfg.Nstag * window)
+        rec["bead_updates_per_s"] = rec["bead_updates"] / max(dt_block, 1e-9)
+        fjl.write(json.dumps(rec) + "\n")
+        fjl.flush()
+
+        if self.verbose:
+            self._print_block(ib, blk, c, nd, nsteps_tot, dt_block)
+
+        self.save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"))
+
+    def _print_block(self, ib, blk, c, nd, nsteps_tot, dt_block):
+        cfg = self.cfg
+        Np = cfg.Np
+        pct = lambda a, b: 100.0 * a / b if b > 0 else 0.0
+        print("-----------------------------------------------------------")
+        print(f"BLOCK NUMBER : {ib}")
+        if blk:
+            print(f"  > <E>  = {blk['AvE']/Np: .8g} +/- {blk['VarE']/Np:.3g}")
+            print(f"  > <Ec> = {blk['AvK']/Np: .8g} +/- {blk['VarK']/Np:.3g}")
+            print(f"  > <Ep> = {blk['AvV']/Np: .8g} +/- {blk['VarV']/Np:.3g}")
+            print(f"  > <Et> = {blk['AvEt']/Np: .8g} +/- {blk['VarEt']/Np:.3g}")
+            print(f"  > <Kt> = {blk['AvKt']/Np: .8g} +/- {blk['VarKt']/Np:.3g}")
+            print(f"  > <Vt> = {blk['AvVt']/Np: .8g} +/- {blk['VarVt']/Np:.3g}")
+        print("# Acceptance of diagonal movements:")
+        print(f"> CM movements      = {pct(c['acc_cm'], c['try_cm']):7.2f} %")
+        print(f"> Staging movements = {pct(c['acc_bd'], c['try_stag']):7.2f} %")
+        print(f"> Head movements    = {pct(c['acc_head'], c['try_stag']):7.2f} %")
+        print(f"> Tail movements    = {pct(c['acc_tail'], c['try_stag']):7.2f} %")
+        if cfg.CWorm > 0:
+            print("# Acceptance of off-diagonal movements:")
+            print(f"> CM movements      = {pct(c['acc_cm_half'], c['try_cm_half']):7.2f} %")
+            print(f"> Staging movements = {pct(c['acc_bd_half'], c['try_stag_half']):7.2f} %")
+            print(f"> Head movements    = {pct(c['acc_head_half'], c['try_stag_half']):7.2f} %")
+            print(f"> Tail movements    = {pct(c['acc_tail_half'], c['try_stag_half']):7.2f} %")
+            print(f"> Diagonal conf.    = {pct(nd, nsteps_tot):7.2f} %")
+            print(f"> Open acc          = {pct(c['acc_open'], c['try_open']):7.2f} %")
+            print(f"> Close acc         = {pct(c['acc_close'], c['try_close']):7.2f} %")
+            print(f"> Swap acc          = {pct(c['acc_swap'], c['try_swap']):7.2f} %")
+        print(f"# Time per block    = {dt_block:9.3f} seconds")
+
+    # ------------------------------------------------------------------
+
+    def finalize(self):
+        """Global averages + final profile outputs (vpi.f90:590-642)."""
+        cfg, acc = self.cfg, self.acc
+        nb = acc["diag_bl"]
+        out = {}
+        if nb > 0:
+            for nm in ("E", "K", "V", "Et", "Kt", "Vt"):
+                m = acc[f"Av{nm}"] / nb
+                m2 = acc[f"Av{nm}2"] / nb
+                out[nm] = m / cfg.Np
+                out[f"Var{nm}"] = var(nb, m, m2) / cfg.Np
+            if not cfg.trap:
+                r = (np.arange(1, cfg.Nbin + 1) - 0.5) * self.system.geo.rbin
+                avg = acc["AvGr"] / nb
+                vg = np.sqrt(np.maximum(acc["AvGr2"] / nb - avg**2, 0) / nb)
+                np.savetxt(os.path.join(self.out_dir, "gr_vpi.out"),
+                           np.column_stack([r, avg, vg]))
+                q = np.asarray(self.system.geo.qbin)[:, None] * np.arange(1, cfg.Nk + 1)
+                avs = acc["AvSk"] / nb
+                vs = np.sqrt(np.maximum(acc["AvSk2"] / nb - avs**2, 0) / nb)
+                cols = [q.T, avs.T, vs.T]
+                np.savetxt(os.path.join(self.out_dir, "sk_vpi.out"),
+                           np.hstack([c.reshape(cfg.Nk, -1) for c in cols]))
+                nob = max(acc["obdm_bl"], 1)
+                if cfg.CWorm > 0:
+                    avn = acc["AvNr"] / nob
+                    vn = np.sqrt(np.maximum(acc["AvNr2"] / nob - avn**2, 0) / nob)
+                    np.savetxt(os.path.join(self.out_dir, "nr_vpi.out"),
+                               np.column_stack([r] + [x for m in
+                                                      range(cfg.Npw + 1)
+                                                      for x in (avn[m], vn[m])]))
+        if cfg.swapping:
+            np.savetxt(os.path.join(self.out_dir, "perm_histogram.out"),
+                       np.column_stack([np.arange(1, cfg.Np + 1),
+                                        acc["perm_hist"]]), fmt="%d %.0f")
+        if self.verbose and out:
+            print("==============================================================")
+            print("FINAL RESULTS:")
+            for nm in ("E", "K", "V", "Et", "Kt", "Vt"):
+                print(f"  > <{nm}> = {out[nm]: .8g} +/- {out['Var'+nm]:.3g}")
+        self.final = out
+        return out
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path):
+        """Full-state checkpoint (CheckPoint, vpi_mod.f90:263-309) — but as a
+        single binary archive holding the walker ensemble, RNG *key* (not
+        engine state; SURVEY.md §5), and global accumulators."""
+        st = self.state
+        arrs = dict(paths=np.asarray(st.paths), xend=np.asarray(st.xend),
+                    isopen=np.asarray(st.isopen), iworm=np.asarray(st.iworm),
+                    key=np.asarray(jax.random.key_data(st.key)),
+                    in_cycle=np.asarray(st.in_cycle),
+                    iperm=np.asarray(st.iperm), step=np.asarray(st.step))
+        scalars = {k: v for k, v in self.acc.items() if np.isscalar(v)}
+        arrays = {f"acc_{k}": np.asarray(v) for k, v in self.acc.items()
+                  if not np.isscalar(v)}
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, __config__=json.dumps(dataclasses.asdict(self.cfg)),
+                 __scalars__=json.dumps(scalars), **arrs, **arrays)
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path):
+        z = np.load(path, allow_pickle=False)
+        key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+        st = MCState(
+            paths=jnp.asarray(z["paths"]), xend=jnp.asarray(z["xend"]),
+            isopen=jnp.asarray(z["isopen"]), iworm=jnp.asarray(z["iworm"]),
+            key=key, in_cycle=jnp.asarray(z["in_cycle"]),
+            iperm=jnp.asarray(z["iperm"]), step=jnp.asarray(z["step"]))
+        acc = self._zero_global()
+        acc.update(json.loads(str(z["__scalars__"])))
+        for k in list(acc):
+            if f"acc_{k}" in z:
+                acc[k] = z[f"acc_{k}"]
+        return st, acc

@@ -1,0 +1,204 @@
+"""Batched pair-interaction kernels — the engine's hot path.
+
+These are the TPU-native re-expressions of the reference's innermost O(Np)
+partner loops:
+
+  UpdatePot  (vpi_mod.f90:2660-2841)  -> delta_pot
+  UpdateWf   (vpi_mod.f90:2534-2656)  -> delta_wf
+  UpdateAction (vpi_mod.f90:2491-2530) -> delta_action
+
+The key structural change: the reference evaluates one displaced bead at a
+time inside a scalar loop; here a whole *window* of B displaced beads (and,
+via vmap, W walkers) is evaluated in one fused tensor computation of shape
+[B, N].  This is exact — during a single-particle move the other particles'
+positions at each bead are constant, so the per-bead Delta-S terms are
+independent (see SURVEY.md §7 'Moves as batched kernels').
+
+Shapes (single walker; vmap adds the leading W axis):
+  R     [B, N, D]  positions of all particles at the B displaced beads
+  xnew  [B, D]     proposed positions of the moved particle
+  xold  [B, D]     current positions of the moved particle
+  ip    scalar     moved-particle index (self-pair excluded)
+  ib    [B]        bead indices (select Chin weights / end-WF terms)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..models import jastrow as jas
+from ..system import System, Tables
+from ..utils.interpolate import interpolate
+from ..utils.pbc import minimum_image
+
+
+def _pair_terms(system: System, x, R, ip):
+    """Displacements of x[B,D] against all partners R[B,N,D].
+
+    Returns (mask[B,N], r[B,N], xij[B,N,D]) with self-pair masked out and the
+    minimum image applied under PBC.  r is 1.0 at masked slots (safe for 1/r).
+    """
+    xij = x[..., None, :] - R  # [B, N, D]
+    if system.pbc:
+        xij, rij2 = minimum_image(xij, system.geo.Lbox)
+    else:
+        rij2 = jnp.sum(xij * xij, axis=-1)
+    N = R.shape[-2]
+    notself = jnp.arange(N) != ip
+    r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
+    return notself, rij2, r, xij
+
+
+def _v_of_r(system: System, tables: Tables, r):
+    if system.cfg.v_table and tables.vtab is not None:
+        return interpolate(0, system.geo.dr, tables.vtab, r)
+    return system.potential.v(r)
+
+
+def _dv_of_r(system: System, tables: Tables, r):
+    if system.cfg.v_table and tables.vtab is not None:
+        return interpolate(1, system.geo.dr, tables.vtab, r)
+    return system.potential.dvdr(r)
+
+
+def _u_of_r(system: System, tables: Tables, r):
+    if system.cfg.wf_table and tables.logwf is not None:
+        return interpolate(0, system.geo.dr, tables.logwf, r)
+    return system.u(r)
+
+
+def delta_pot(system: System, tables: Tables, R, xnew, xold, ip,
+              with_force: bool = True):
+    """Potential-energy and force-squared deltas for displaced beads.
+
+    Equivalent of UpdatePot (vpi_mod.f90:2660-2841): for each displaced bead,
+    dPot = sum_j [V(r_new_j) - V(r_old_j)] over partners j != ip within rcut,
+    dF2  = |F_new|^2 - |F_old|^2 where F is the moved particle's total pair
+    force (table-derivative or analytic dV/dr), plus trap one-body terms.
+
+    Returns (dPot[B], dF2[B]); dF2 is zeros when with_force=False.
+    """
+    geo, cfg = system.geo, system.cfg
+
+    def side(x):
+        notself, rij2, r, xij = _pair_terms(system, x, R, ip)
+        if system.pbc:
+            m = notself & (rij2 <= geo.rcut2)
+        else:
+            m = notself  # trap branch: no cutoff on pair terms
+        v = jnp.where(m, _v_of_r(system, tables, r), 0.0)
+        pot = jnp.sum(v, axis=-1)
+        F = None
+        if with_force:
+            fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
+            F = jnp.sum(fr[..., None] * xij, axis=-2)  # [B, D]
+        if cfg.trap:
+            pot = pot + jas.trap_pot(cfg.a_ho, x)
+            if with_force:
+                F = F + jas.trap_pot_grad(cfg.a_ho, x)
+        return pot, F
+
+    pot_new, F_new = side(xnew)
+    pot_old, F_old = side(xold)
+    dpot = pot_new - pot_old
+    if with_force:
+        df2 = jnp.sum(F_new * F_new, axis=-1) - jnp.sum(F_old * F_old, axis=-1)
+    else:
+        df2 = jnp.zeros_like(dpot)
+    return dpot, df2
+
+
+def delta_wf(system: System, tables: Tables, R, xnew, xold, ip):
+    """Trial-wavefunction log delta (UpdateWf, vpi_mod.f90:2534-2656).
+
+    dLogPsi[B] = sum_j [u(r_new_j) - u(r_old_j)] (+ trap one-body terms).
+    """
+    geo, cfg = system.geo, system.cfg
+
+    def side(x):
+        notself, rij2, r, _ = _pair_terms(system, x, R, ip)
+        if system.pbc:
+            m = notself & (rij2 <= geo.rcut2)
+        else:
+            m = notself
+        u = jnp.where(m, _u_of_r(system, tables, r), 0.0)
+        psi = jnp.sum(u, axis=-1)
+        if cfg.trap:
+            psi = psi + jas.trap_psi(cfg.a_ho, x)
+        return psi
+
+    return side(xnew) - side(xold)
+
+
+def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
+    """Per-bead action delta (UpdateAction, vpi_mod.f90:2491-2530), batched.
+
+    dS[B] = -dLogPsi * [ib at either end]
+            + wv(ib) * dPot + wf(ib) * dF2      (Chin opt=0 weights)
+
+    F^2 enters only on odd interior beads (weight zero elsewhere); the trial
+    WF only at beads 0 and 2*Nb (vpi_mod.f90:2509-2525).
+    """
+    M = system.M
+    dt = system.cfg.dt
+    ib = jnp.asarray(ib)
+    interior = (ib > 0) & (ib < M - 1)
+    odd = interior & (ib % 2 == 1)
+    even_int = interior & (ib % 2 == 0)
+    is_end = ~interior
+
+    # Force term needed only where odd-bead weight is nonzero.  We compute it
+    # unconditionally here (cheap relative to the gather-free fused kernel;
+    # the Pallas path specializes) — the weight masks it exactly.
+    dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip, with_force=True)
+
+    wv = jnp.where(odd, 4.0 * dt / 3.0,
+                   jnp.where(even_int, 2.0 * dt / 3.0, dt / 3.0))
+    wf = jnp.where(odd, (4.0 * dt / 3.0) * dt * dt / 6.0, 0.0)
+
+    dS = wv * dpot + wf * df2
+
+    dlogpsi = delta_wf(system, tables, R, xnew, xold, ip)
+    dS = dS - jnp.where(is_end, dlogpsi, 0.0)
+    return dS
+
+
+# ---------------------------------------------------------------------------
+# Full-configuration pair sums (estimator substrate)
+# ---------------------------------------------------------------------------
+
+def pair_pot(system: System, tables: Tables, R, with_force: bool = False):
+    """Total potential (and total |F|^2) of one configuration R[N, D].
+
+    Equivalent of PotentialEnergy (sample_mod.f90:13-150): O(N^2) pair sum
+    with minimum image + rcut under PBC, plus trap one-body terms; F is the
+    full antisymmetric pair-force field on every particle.
+    Returns (Pot, F2) — F2 = sum_i |F_i|^2 (0.0 if with_force=False).
+    """
+    geo, cfg = system.geo, system.cfg
+    N = R.shape[-2]
+    xij = R[..., :, None, :] - R[..., None, :, :]  # [N, N, D]
+    if system.pbc:
+        xij, rij2 = minimum_image(xij, geo.Lbox)
+    else:
+        rij2 = jnp.sum(xij * xij, axis=-1)
+    notself = ~jnp.eye(N, dtype=bool)
+    if system.pbc:
+        m = notself & (rij2 <= geo.rcut2)
+    else:
+        m = notself
+    r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
+    v = jnp.where(m, _v_of_r(system, tables, r), 0.0)
+    pot = 0.5 * jnp.sum(v, axis=(-1, -2))  # each unordered pair once
+    F2 = jnp.zeros_like(pot)
+    if with_force:
+        fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
+        F = jnp.sum(fr[..., None] * xij, axis=-2)  # [N, D]: sum over partners
+        if cfg.trap:
+            F = F + jas.trap_pot_grad(cfg.a_ho, R)
+        F2 = jnp.sum(F * F, axis=(-1, -2))
+    if cfg.trap:
+        pot = pot + jnp.sum(jas.trap_pot(cfg.a_ho, R), axis=-1)
+    return pot, F2

@@ -1,0 +1,350 @@
+"""One Monte Carlo step over the whole walker ensemble.
+
+Re-expresses the body of the reference's main loop (vpi.f90:297-475) as a
+single jit-compiled function over `MCState`:
+
+  1. open/close attempts toggling the per-walker `isopen` mask
+     (vpi.f90:302-323),
+  2. center-of-mass + staging-or-bisection sweeps over particles
+     (vpi.f90:327-366 off-diagonal, vpi.f90:406-439 diagonal — unified here
+     with the worm particle masked out of open walkers),
+  3. Nobdm worm-update repetitions with OBDM accumulation (vpi.f90:370-404),
+  4. estimators for diagonal walkers (vpi.f90:441-469).
+
+Every reference acceptance counter (vpi.f90:552-584 report) is reproduced,
+summed over walkers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ops import bisection as bis
+from .ops import estimators as est
+from .ops import moves as mv
+from .ops import worm as wm
+from .state import MCState
+from .system import System, Tables
+
+
+class StepStats(NamedTuple):
+    """Per-step statistics summed over walkers (block-accumulated)."""
+    n_diag: jnp.ndarray        # diagonal walker-steps
+    sumE: jnp.ndarray          # mixed-estimator sums over diagonal walkers
+    sumK: jnp.ndarray
+    sumV: jnp.ndarray
+    sumE2: jnp.ndarray
+    sumK2: jnp.ndarray
+    sumV2: jnp.ndarray
+    sumEt: jnp.ndarray         # thermodynamic estimator
+    sumKt: jnp.ndarray
+    sumVt: jnp.ndarray
+    sumEt2: jnp.ndarray
+    sumKt2: jnp.ndarray
+    sumVt2: jnp.ndarray
+    ngr: jnp.ndarray           # g(r)/S(k) sample count
+    gr: jnp.ndarray            # [Nbin]
+    sk: jnp.ndarray            # [dim, Nk]
+    nrho: jnp.ndarray          # [Npw+1, Nbin] OBDM accumulator
+    perm_hist: jnp.ndarray     # [Np] permutation-cycle length histogram
+    counters: jnp.ndarray      # [18] try/acc counters (see COUNTER_NAMES)
+
+
+COUNTER_NAMES = (
+    "try_cm", "acc_cm", "try_stag", "acc_bd", "acc_head", "acc_tail",
+    "try_cm_half", "acc_cm_half", "try_stag_half", "acc_bd_half",
+    "acc_head_half", "acc_tail_half",
+    "try_open", "acc_open", "try_close", "acc_close", "try_swap", "acc_swap",
+)
+_CIDX = {n: i for i, n in enumerate(COUNTER_NAMES)}
+
+
+def zero_stats(system: System) -> StepStats:
+    cfg = system.cfg
+    f = lambda: jnp.zeros((), jnp.float64 if system.dtype == jnp.float64 else jnp.float32)
+    return StepStats(
+        n_diag=f(), sumE=f(), sumK=f(), sumV=f(), sumE2=f(), sumK2=f(),
+        sumV2=f(), sumEt=f(), sumKt=f(), sumVt=f(), sumEt2=f(), sumKt2=f(),
+        sumVt2=f(), ngr=f(),
+        gr=jnp.zeros((cfg.Nbin,), f().dtype),
+        sk=jnp.zeros((cfg.dim, cfg.Nk), f().dtype),
+        nrho=jnp.zeros((cfg.Npw + 1, cfg.Nbin), f().dtype),
+        perm_hist=jnp.zeros((cfg.Np,), f().dtype),
+        counters=jnp.zeros((len(COUNTER_NAMES),), jnp.int32),
+    )
+
+
+def _i32sum(x):
+    return jnp.sum(x.astype(jnp.int32)).astype(jnp.int32)
+
+
+def _vm(fn, *axes):
+    return jax.vmap(fn, in_axes=axes)
+
+
+class Sweeper:
+    """Builds the vmapped move set once for a given System (+ tables)."""
+
+    def __init__(self, system: System, tables: Tables):
+        self.system = system
+        self.tables = tables
+        s, t = system, tables
+        cfg = system.cfg
+
+        # vmapped single-walker moves: axes (key, paths, [xend], ip, active, ...)
+        self.v_translate = _vm(partial(mv.translate_chain, s, t),
+                               0, 0, 0, 0, None)
+        self.v_staging = _vm(partial(mv.staging_move, s, t), 0, 0, 0, 0, None)
+        self.v_head = _vm(partial(mv.move_head, s, t), 0, 0, 0, 0, None)
+        self.v_tail = _vm(partial(mv.move_tail, s, t), 0, 0, 0, 0, None)
+        self.v_bisect = _vm(partial(bis.bisection, s, t), 0, 0, 0, 0, None)
+        self.v_head_bis = _vm(partial(bis.move_head_bisection, s, t),
+                              0, 0, 0, 0, None)
+        self.v_tail_bis = _vm(partial(bis.move_tail_bisection, s, t),
+                              0, 0, 0, 0, None)
+        self.v_trans_half = {
+            h: _vm(partial(mv.translate_half_chain, s, t),
+                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+        self.v_stag_half = {
+            h: _vm(partial(mv.staging_half_chain, s, t),
+                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+        self.v_head_half = {
+            h: _vm(partial(mv.move_head_half_chain, s, t),
+                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+        self.v_tail_half = {
+            h: _vm(partial(mv.move_tail_half_chain, s, t),
+                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+        self.v_open = _vm(partial(wm.open_chain, s, t), 0, 0, 0, 0, 0, None)
+        self.v_close = _vm(partial(wm.close_chain, s, t), 0, 0, 0, 0, 0, None)
+        self.v_swap = _vm(partial(wm.swap_move, s, t), 0, 0, 0, 0, 0, None)
+        self.v_obdm = _vm(partial(wm.obdm_terms, s), 0)
+        self.v_local_e = _vm(partial(est.local_energy, s, t), 0)
+        self.v_therm_e = _vm(partial(est.therm_energy, s, t), 0)
+        self.v_gr = _vm(partial(est.pair_correlation, s), 0)
+        self.v_sk = _vm(partial(est.structure_factor, s, cfg.Nk), 0)
+
+        # staging window length / bisection level
+        self.Lstag = cfg.Lstag
+        self.Nlev = cfg.Nlev
+        self.use_bisection = cfg.sampling == "bis"
+
+    # -- key plumbing -------------------------------------------------------
+
+    @staticmethod
+    def _wkeys(key, tag, W):
+        return jax.random.split(jax.random.fold_in(key, tag), W)
+
+    @staticmethod
+    def _wkeys_t(key, tag, ip, W):
+        """Per-walker keys for a traced loop index."""
+        k = jax.random.fold_in(jax.random.fold_in(key, tag), ip)
+        return jax.random.split(k, W)
+
+    # -- the sweep ----------------------------------------------------------
+
+    def step(self, state: MCState, stats: StepStats):
+        """One full MC step for every walker; returns (state, stats)."""
+        system = self.system
+        cfg = system.cfg
+        W = state.paths.shape[0]
+        Np = cfg.Np
+        ctr = stats.counters
+
+        key, k_step = jax.random.split(state.key)
+        state = state._replace(key=key, step=state.step + 1)
+
+        paths, xend = state.paths, state.xend
+        isopen, iworm = state.isopen, state.iworm
+        in_cycle, iperm = state.in_cycle, state.iperm
+        perm_hist = stats.perm_hist
+
+        # ---- 1. open/close attempts (vpi.f90:302-323) ----
+        if cfg.CWorm > 0.0:
+            k_upd = self._wkeys(k_step, 0, W)
+            iupdate = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2))(k_upd)
+
+            do_close = isopen & (iupdate == 0)
+            k_close = self._wkeys(k_step, 1, W)
+            paths, xend, closed = self.v_close(
+                k_close, paths, xend, iworm, do_close, self.Lstag)
+            # permutation bookkeeping: histogram the ended cycle
+            perm_hist = perm_hist + jnp.zeros_like(perm_hist).at[
+                jnp.clip(iperm - 1, 0, Np - 1)].add(
+                jnp.where(closed, 1.0, 0.0))
+            isopen = isopen & ~closed
+
+            do_open = (~isopen) & (~closed) & (iupdate == 1)
+            k_pick = self._wkeys(k_step, 2, W)
+            cand = jax.vmap(lambda k: jax.random.randint(k, (), 0, Np))(k_pick)
+            k_open = self._wkeys(k_step, 3, W)
+            paths, xend_o, opened, _ = self.v_open(
+                k_open, paths, xend, cand, do_open, self.Lstag)
+            xend = jnp.where(do_open[:, None, None], xend_o, xend)
+            iworm = jnp.where(opened, cand, iworm)
+            isopen = isopen | opened
+            # new permutation cycle on successful open
+            in_cycle = jnp.where(
+                opened[:, None],
+                jax.nn.one_hot(cand, Np, dtype=bool), in_cycle)
+            iperm = jnp.where(opened, 1, iperm)
+
+            ctr = ctr.at[_CIDX["try_close"]].add(_i32sum(do_close))
+            ctr = ctr.at[_CIDX["acc_close"]].add(_i32sum(closed))
+            ctr = ctr.at[_CIDX["try_open"]].add(_i32sum(do_open))
+            ctr = ctr.at[_CIDX["acc_open"]].add(_i32sum(opened))
+
+        # ---- 2. CM translations (vpi.f90:329-342 / 412-419) ----
+        do_cm = (state.step % cfg.CMFreq) == 0
+        delta = system.geo.delta_cm
+
+        def cm_body(ip, carry):
+            paths, ctr = carry
+            active = (~isopen | (iworm != ip)) & do_cm
+            keys = self._wkeys_t(k_step, 10, ip, W)
+            ips = jnp.full((W,), ip, jnp.int32)
+            paths, acc = self.v_translate(keys, paths, ips, active, delta)
+            ctr = ctr.at[_CIDX["try_cm"]].add(_i32sum(active))
+            ctr = ctr.at[_CIDX["acc_cm"]].add(_i32sum(acc))
+            return paths, ctr
+
+        paths, ctr = lax.fori_loop(0, Np, cm_body, (paths, ctr))
+
+        # ---- 3. staging/bisection sweeps (vpi.f90:344-366 / 421-439) ----
+        def stag_body(it, carry):
+            paths, ctr = carry
+            ip = it % Np
+            active = ~isopen | (iworm != ip)
+            ips = jnp.full((W,), ip, jnp.int32)
+            kh = self._wkeys_t(k_step, 20, it, W)
+            kt = self._wkeys_t(k_step, 21, it, W)
+            kb = self._wkeys_t(k_step, 22, it, W)
+            if self.use_bisection:
+                paths, acc_h = self.v_head_bis(kh, paths, ips, active, self.Nlev)
+                paths, acc_t = self.v_tail_bis(kt, paths, ips, active, self.Nlev)
+                paths, acc_b = self.v_bisect(kb, paths, ips, active, self.Nlev)
+            else:
+                paths, acc_h = self.v_head(kh, paths, ips, active, self.Lstag)
+                paths, acc_t = self.v_tail(kt, paths, ips, active, self.Lstag)
+                paths, acc_b = self.v_staging(kb, paths, ips, active, self.Lstag)
+            ctr = ctr.at[_CIDX["try_stag"]].add(_i32sum(active))
+            ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
+            ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
+            ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc_b))
+            return paths, ctr
+
+        paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body, (paths, ctr))
+
+        # ---- 4. worm updates + OBDM (vpi.f90:370-404) ----
+        nrho = stats.nrho
+        if cfg.CWorm > 0.0 and cfg.Nobdm > 0:
+            def worm_body(iobdm, carry):
+                paths, xend, in_cycle, iperm, ctr, nrho = carry
+                act = isopen
+                nact = _i32sum(act)
+                for h in (1, 2):
+                    keys = self._wkeys_t(k_step, 30 + h, iobdm, W)
+                    paths, xend, acc = self.v_trans_half[h](
+                        keys, paths, xend, iworm, h, act, delta)
+                    ctr = ctr.at[_CIDX["try_cm_half"]].add(nact)
+                    ctr = ctr.at[_CIDX["acc_cm_half"]].add(
+                        _i32sum(acc))
+                for h in (1, 2):
+                    kh = self._wkeys_t(k_step, 40 + h, iobdm, W)
+                    kt = self._wkeys_t(k_step, 42 + h, iobdm, W)
+                    ks = self._wkeys_t(k_step, 44 + h, iobdm, W)
+                    paths, xend, acc_h = self.v_head_half[h](
+                        kh, paths, xend, iworm, h, act, self.Lstag)
+                    paths, xend, acc_t = self.v_tail_half[h](
+                        kt, paths, xend, iworm, h, act, self.Lstag)
+                    paths, xend, acc_s = self.v_stag_half[h](
+                        ks, paths, xend, iworm, h, act, self.Lstag)
+                    ctr = ctr.at[_CIDX["try_stag_half"]].add(nact)
+                    ctr = ctr.at[_CIDX["acc_head_half"]].add(
+                        _i32sum(acc_h))
+                    ctr = ctr.at[_CIDX["acc_tail_half"]].add(
+                        _i32sum(acc_t))
+                    ctr = ctr.at[_CIDX["acc_bd_half"]].add(
+                        _i32sum(acc_s))
+                if cfg.swapping:
+                    ksw = self._wkeys_t(k_step, 50, iobdm, W)
+                    paths, xend, acc_sw, partner = self.v_swap(
+                        ksw, paths, xend, iworm, act, self.Lstag)
+                    ctr = ctr.at[_CIDX["try_swap"]].add(nact)
+                    ctr = ctr.at[_CIDX["acc_swap"]].add(
+                        _i32sum(acc_sw))
+                    # permutation-cycle bookkeeping (sample_mod.f90:556-581)
+                    already = jnp.take_along_axis(
+                        in_cycle, partner[:, None], axis=1)[:, 0]
+                    grow = acc_sw & ~already
+                    iperm = iperm + grow.astype(jnp.int32)
+                    in_cycle = in_cycle | (
+                        jax.nn.one_hot(partner, Np, dtype=bool)
+                        & acc_sw[:, None])
+                if not cfg.trap:
+                    ibin, wpw, valid = self.v_obdm(xend)  # [W], [W,Npw+1], [W]
+                    contrib = wpw * (act & valid)[:, None].astype(wpw.dtype)
+                    nrho = nrho.at[:, ibin].add(contrib.T)
+                return paths, xend, in_cycle, iperm, ctr, nrho
+
+            paths, xend, in_cycle, iperm, ctr, nrho = lax.fori_loop(
+                0, cfg.Nobdm, worm_body,
+                (paths, xend, in_cycle, iperm, ctr, nrho))
+
+        # ---- 5. estimators for diagonal walkers (vpi.f90:441-469) ----
+        isdiag = ~isopen
+        fdiag = isdiag.astype(paths.dtype)
+        nd = jnp.sum(fdiag)
+
+        E1, _, _ = self.v_local_e(paths[:, 0])
+        E2, _, _ = self.v_local_e(paths[:, -1])
+        E = 0.5 * (E1 + E2)
+        Et, Kt, Ep = self.v_therm_e(paths)
+        Kin = E - Ep
+
+        def msum(x):
+            return jnp.sum(x * fdiag)
+
+        new = StepStats(
+            n_diag=stats.n_diag + nd,
+            sumE=stats.sumE + msum(E), sumK=stats.sumK + msum(Kin),
+            sumV=stats.sumV + msum(Ep),
+            sumE2=stats.sumE2 + msum(E * E), sumK2=stats.sumK2 + msum(Kin * Kin),
+            sumV2=stats.sumV2 + msum(Ep * Ep),
+            sumEt=stats.sumEt + msum(Et), sumKt=stats.sumKt + msum(Kt),
+            sumVt=stats.sumVt + msum(Ep),
+            sumEt2=stats.sumEt2 + msum(Et * Et),
+            sumKt2=stats.sumKt2 + msum(Kt * Kt),
+            sumVt2=stats.sumVt2 + msum(Ep * Ep),
+            ngr=stats.ngr + nd,
+            gr=stats.gr, sk=stats.sk, nrho=nrho, perm_hist=perm_hist,
+            counters=ctr,
+        )
+        if not cfg.trap:
+            gr_w = self.v_gr(paths[:, cfg.Nb])          # [W, Nbin]
+            sk_w = self.v_sk(paths[:, cfg.Nb])          # [W, dim, Nk]
+            new = new._replace(
+                gr=new.gr + jnp.sum(gr_w * fdiag[:, None], axis=0),
+                sk=new.sk + jnp.sum(sk_w * fdiag[:, None, None], axis=0),
+            )
+
+        state = state._replace(paths=paths, xend=xend, isopen=isopen,
+                               iworm=iworm, in_cycle=in_cycle, iperm=iperm)
+        return state, new
+
+
+def run_block(system: System, tables: Tables, sweeper: Sweeper,
+              state: MCState, nstep: int):
+    """Scan nstep MC steps, returning (state, block StepStats).  Jit this."""
+    def body(carry, _):
+        st, acc = carry
+        st, acc = sweeper.step(st, acc)
+        return (st, acc), None
+
+    (state, stats), _ = lax.scan(body, (state, zero_stats(system)), None,
+                                 length=nstep)
+    return state, stats

@@ -1,0 +1,82 @@
+"""System bundle: config + derived geometry + model selection.
+
+A frozen (hashable) object closed over by every jit-compiled kernel, playing
+the role of the reference's global state module (global_mod.f90:5-13) and
+model module (system_mod.f90) — but immutable and explicit instead of
+mutable COMMON-style globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .config import Geometry, SimConfig, geometry
+from .models.potentials import Potential, get_potential
+from .utils.interpolate import build_table
+from .models import jastrow as jas
+
+
+class Tables(NamedTuple):
+    """Optional lookup tables (parity mode; vpi_mod.f90:84-145).
+
+    logwf: [Nmax+2] tabulated log-Jastrow (JastrowTable equivalent)
+    vtab:  [Nmax+2] tabulated potential (PotentialTable equivalent)
+    Either may be None (closed-form fast path).
+    """
+    logwf: Optional[jnp.ndarray]
+    vtab: Optional[jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    cfg: SimConfig
+    geo: Geometry
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.cfg.dtype)
+
+    @property
+    def M(self) -> int:
+        return self.cfg.M
+
+    @property
+    def potential(self) -> Potential:
+        return get_potential(self.cfg.potential)
+
+    @property
+    def pbc(self) -> bool:
+        return not self.cfg.trap
+
+    def u(self, r):
+        """Two-body log-Jastrow u(r)."""
+        return jas.mcmillan_u(self.cfg.Rm, r)
+
+    def du(self, r):
+        return jas.mcmillan_du(self.cfg.Rm, r)
+
+    def d2u(self, r):
+        return jas.mcmillan_d2u(self.cfg.Rm, r)
+
+
+def make_system(cfg: SimConfig) -> System:
+    return System(cfg=cfg, geo=geometry(cfg))
+
+
+def make_tables(system: System, dtype=None) -> Tables:
+    """Build the optional Jastrow / potential tables on the reference grid.
+
+    Mirrors JastrowTable (vpi_mod.f90:84-112) and PotentialTable
+    (vpi_mod.f90:116-145): Nmax points on [0, rcut], ghost cells at both ends.
+    """
+    cfg, geo = system.cfg, system.geo
+    dtype = dtype or system.dtype
+    logwf = vtab = None
+    if cfg.wf_table:
+        logwf, _ = build_table(lambda r: system.u(r), geo.rcut, cfg.Nmax, dtype)
+    if cfg.v_table:
+        vtab, _ = build_table(system.potential.v, geo.rcut, cfg.Nmax, dtype)
+    return Tables(logwf=logwf, vtab=vtab)

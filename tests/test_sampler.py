@@ -1,0 +1,106 @@
+"""Sampler integration tests (SURVEY.md §4 'Statistical/integration').
+
+The harmonic-oscillator config is the reference's own implicit sanity check
+(system_mod.f90:213-252 trap terms; README.md:9 cites Sarsa et al. who
+validated on exactly this system): with the exact Gaussian trial WF the
+mixed estimator must give E0 = d/2 (hbar=m=omega=1, a_ho=1) with zero
+variance, and the thermodynamic estimator must agree within error bars.
+
+Note: jit-compiling the sweep is expensive on the CI CPU (~1-2 min per
+distinct config), so tests share cached simulation runs per config.
+"""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from pathintegralgroundstate_tpu.config import SimConfig
+from pathintegralgroundstate_tpu.state import init_state
+from pathintegralgroundstate_tpu.sweep import _CIDX, Sweeper, run_block
+from pathintegralgroundstate_tpu.system import make_system, make_tables
+
+
+def _ho_cfg(**kw):
+    base = dict(dim=1, Np=1, trap=True, a_ho=(1.0,), potential="none",
+                sampling="sta", Lstag=8, Nlev=2, Nstag=2, Nb=8, dt=0.05,
+                CMFreq=1, delta_cm=0.5, n_walkers=64, Nstep=20,
+                dtype="float64", CWorm=0.0, Nobdm=0, seed=11)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+@functools.lru_cache(maxsize=None)
+def _run_blocks(cfg, nblocks):
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    state = init_state(system)
+    blk = jax.jit(lambda st: run_block(system, tables, sweeper, st, cfg.Nstep))
+    results = []
+    for _ in range(nblocks):
+        state, stats = blk(state)
+        results.append(jax.tree.map(np.asarray, stats))
+    return system, state, results
+
+
+@pytest.mark.parametrize("sampling", ["sta", "bis"])
+def test_ho_ground_state_energy(sampling):
+    cfg = _ho_cfg(sampling=sampling)
+    system, state, results = _run_blocks(cfg, 3)
+    stats = results[-1]
+    nd = float(stats.n_diag)
+    assert nd == cfg.Nstep * cfg.n_walkers  # no worm => all diagonal
+    E = float(stats.sumE) / nd
+    # exact trial WF => mixed estimator exact, zero variance
+    np.testing.assert_allclose(E, 0.5 * cfg.dim, rtol=1e-10)
+    E2 = float(stats.sumE2) / nd
+    assert abs(E2 - E * E) < 1e-10
+
+    Et = float(stats.sumEt) / nd
+    vart = np.sqrt(max(float(stats.sumEt2) / nd - Et * Et, 0.0) / nd)
+    # thermodynamic estimator: agreement within ~5 sigma + dt^2 bias margin
+    assert abs(Et - 0.5 * cfg.dim) < 5 * vart + 0.02
+
+
+def test_ho_density_width():
+    """Central-bead density must follow |psi_0|^2 = N(0, 1/2)."""
+    cfg = _ho_cfg()
+    system, state, results = _run_blocks(cfg, 3)
+    x = np.asarray(state.paths[:, cfg.Nb, 0, 0])
+    assert abs(np.mean(x)) < 0.45
+    np.testing.assert_allclose(np.mean(x ** 2), 0.5, atol=0.25)
+
+
+def test_ho_3d():
+    cfg = _ho_cfg(dim=3, a_ho=(1.0, 1.0, 1.0), n_walkers=16, Nstep=10)
+    system, state, results = _run_blocks(cfg, 2)
+    stats = results[-1]
+    nd = float(stats.n_diag)
+    E = float(stats.sumE) / nd
+    np.testing.assert_allclose(E, 1.5, rtol=1e-10)
+
+
+def test_acceptance_counters_sane():
+    cfg = _ho_cfg()
+    system, state, results = _run_blocks(cfg, 3)
+    c = np.asarray(results[-1].counters)
+    W, Np, Nstep, Nstag = cfg.n_walkers, cfg.Np, cfg.Nstep, cfg.Nstag
+    assert c[_CIDX["try_cm"]] == W * Np * Nstep
+    assert c[_CIDX["try_stag"]] == W * Np * Nstep * Nstag
+    for a, t in (("acc_cm", "try_cm"), ("acc_bd", "try_stag"),
+                 ("acc_head", "try_stag"), ("acc_tail", "try_stag")):
+        assert 0 < c[_CIDX[a]] <= c[_CIDX[t]]
+
+
+def test_reproducible():
+    cfg = _ho_cfg()
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    blk = jax.jit(lambda st: run_block(system, tables, sweeper, st, 5))
+    s1, r1 = blk(init_state(system))
+    s2, r2 = blk(init_state(system))
+    np.testing.assert_array_equal(np.asarray(s1.paths), np.asarray(s2.paths))
+    assert float(r1.sumE) == float(r2.sumE)
