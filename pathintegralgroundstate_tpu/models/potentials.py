@@ -44,8 +44,14 @@ def _aziz_factory(p):
     A, alpha, beta = p["A"], p["alpha"], p["beta"]
     C6, C8, C10, D = p["C6"], p["C8"], p["C10"], p["D"]
 
+    # Hard-core floor: below d ~ 1e-3 (r ~ 1e-3 sigma) the damped-dispersion
+    # product underflows to 0 * inf = NaN in float32; the clamped wall keeps
+    # V ~ V0*A (enormous, always rejected) and the kernels NaN-free.  The
+    # reference relies on float64 underflow for the same region.
+    D_MIN = 1.0e-3
+
     def v(r):
-        d = s * r
+        d = jnp.maximum(s * r, D_MIN)
         d2 = d * d
         rep = A * jnp.exp(-alpha * d + beta * d2)
         H = jnp.where(d <= D, jnp.exp(-jnp.square(D / d - 1.0)), 1.0)
@@ -53,7 +59,7 @@ def _aziz_factory(p):
         return V0 * (rep - W * H / (d2 * d2 * d2))
 
     def dvdr(r):
-        d = s * r
+        d = jnp.maximum(s * r, D_MIN)
         d2 = d * d
         rep = A * jnp.exp(-alpha * d + beta * d2)
         drep = rep * (-alpha + 2.0 * beta * d)

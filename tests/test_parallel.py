@@ -1,0 +1,80 @@
+"""Multi-device tests on the 8-way fake-CPU mesh (SURVEY.md §4):
+walker-axis data parallelism and pair-tile tensor parallelism must produce
+the same numbers as single-device execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathintegralgroundstate_tpu.config import SimConfig
+from pathintegralgroundstate_tpu.ops.pairwise import pair_pot
+from pathintegralgroundstate_tpu.parallel.mesh import (
+    make_mesh, shard_state, sharded_block_fn)
+from pathintegralgroundstate_tpu.parallel.pairtile import pair_pot_tp
+from pathintegralgroundstate_tpu.state import init_state
+from pathintegralgroundstate_tpu.sweep import Sweeper, run_block
+from pathintegralgroundstate_tpu.system import make_system, make_tables
+
+
+def _he4_small(**kw):
+    base = dict(dim=3, Np=8, density=0.365, dt=5e-3, Nb=4, sampling="sta",
+                Lstag=4, Nlev=2, Nstag=1, CMFreq=1, delta_cm=0.12, Rm=1.2,
+                swapping=True, CWorm=0.5, Nobdm=1, Npw=0,
+                n_walkers=16, dtype="float64", potential="aziz2", seed=5)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pair_tile_matches_single_device():
+    cfg = _he4_small()
+    system = make_system(cfg)
+    tables = make_tables(system)
+    mesh = make_mesh(n_dp=2, n_tp=4)
+    fn_tp = pair_pot_tp(system, tables, mesh)
+    key = jax.random.key(0)
+    R = jnp.asarray(system.geo.Lbox) * (
+        jax.random.uniform(key, (3, cfg.Np, cfg.dim), jnp.float64) - 0.5)
+    pot_tp, f2_tp = fn_tp(R)
+    pot_1, f2_1 = jax.vmap(lambda x: pair_pot(system, tables, x, True))(R)
+    np.testing.assert_allclose(np.asarray(pot_tp), np.asarray(pot_1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f2_tp), np.asarray(f2_1), rtol=1e-11)
+
+
+@pytest.mark.slow
+def test_sharded_block_runs_and_matches_replicated():
+    """The dp-sharded block must produce identical statistics to the
+    unsharded execution (same seed, same walker count)."""
+    cfg = _he4_small(n_walkers=8, Nstep=2)
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    state0 = init_state(system)
+
+    # single-device
+    st1, stats1 = jax.jit(
+        lambda st: run_block(system, tables, sweeper, st, cfg.Nstep))(state0)
+
+    # 8-way walker sharding
+    mesh = make_mesh(n_dp=8, n_tp=1)
+    stS = shard_state(init_state(system), mesh)
+    blk = sharded_block_fn(system, tables, sweeper, cfg.Nstep, mesh)
+    st2, stats2 = blk(stS)
+
+    np.testing.assert_allclose(float(stats1.sumE), float(stats2.sumE),
+                               rtol=1e-10)
+    np.testing.assert_array_equal(np.asarray(stats1.counters),
+                                  np.asarray(stats2.counters))
+    np.testing.assert_allclose(np.asarray(st1.paths), np.asarray(st2.paths),
+                               rtol=1e-12)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
