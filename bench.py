@@ -35,12 +35,13 @@ def main():
 
     nstep = 5
     block = jax.jit(lambda st: run_block(system, tables, sweeper, st, nstep))
+    import numpy as np
     state, stats = block(state)          # compile + warmup
-    jax.block_until_ready(stats.counters)
+    np.asarray(stats.counters)           # force a real device sync/readback
     t0 = time.time()
     state, stats = block(state)
-    jax.block_until_ready(stats.counters)
-    dt = time.time() - t0
+    np.asarray(stats.counters)           # sync: block_until_ready alone does
+    dt = time.time() - t0                # not drain the axon relay queue
 
     # bead updates attempted per step (displaced beads across all moves)
     M = cfg.M

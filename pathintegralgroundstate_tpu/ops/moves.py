@@ -33,7 +33,7 @@ from jax import lax
 
 from ..system import System, Tables
 from ..utils.pbc import minimum_image, wrap
-from .pairwise import delta_action
+from .pairwise import delta_action, delta_action_sum
 
 
 # ---------------------------------------------------------------------------
@@ -142,8 +142,8 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
 
     _, xnews = lax.scan(body, xnew0, (jnp.arange(1, Lb), gs, xolds))
 
-    dS_rest = jnp.sum(delta_action(
-        system, tables, R_seg[1:Lb], xnews, xolds, ip, ib_seg[1:Lb]))
+    dS_rest = delta_action_sum(
+        system, tables, R_seg[1:Lb], xnews, xolds, ip, ib_seg[1:Lb])
 
     seg_new = seg.at[0].set(xnew0).at[1:Lb].set(xnews)
     return seg_new, dS_first, dS_rest
@@ -162,8 +162,8 @@ def translate_chain(system: System, tables: Tables, key, paths_w, ip, active,
     dx = delta * (2.0 * jax.random.uniform(k_dx, (D,), paths_w.dtype) - 1.0)
     chain = get_chain(paths_w, ip)
     xnew = _wrap_pos(system, chain + dx)
-    dS = jnp.sum(delta_action(system, tables, paths_w, xnew, chain, ip,
-                              jnp.arange(M)))
+    dS = delta_action_sum(system, tables, paths_w, xnew, chain, ip,
+                          jnp.arange(M))
     acc = metropolis(k_acc, dS) & active
     chain_new = jnp.where(acc, xnew, chain)
     return set_chain(paths_w, ip, chain_new), acc
@@ -186,8 +186,8 @@ def translate_half_chain(system: System, tables: Tables, key, paths_w, xend_w,
     xold = chain[lo:hi]
     dx = delta * (2.0 * jax.random.uniform(k_dx, (D,), paths_w.dtype) - 1.0)
     xnew = _wrap_pos(system, xold + dx)
-    dS = jnp.sum(delta_action(system, tables, paths_w[lo:hi], xnew, xold, ip,
-                              ib_seg))
+    dS = delta_action_sum(system, tables, paths_w[lo:hi], xnew, xold, ip,
+                          ib_seg)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc, xnew, xold)
     chain = chain.at[lo:hi].set(seg_fin)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..models import jastrow as jas
 from ..system import System, Tables
@@ -63,6 +64,17 @@ def _dv_of_r(system: System, tables: Tables, r):
     return system.potential.dvdr(r)
 
 
+def _v_dv_of_r(system: System, tables: Tables, r, rinv=None):
+    """Fused (V, dV/dr): one transcendental pass on the closed-form path."""
+    if system.cfg.v_table and tables.vtab is not None:
+        return (interpolate(0, system.geo.dr, tables.vtab, r),
+                interpolate(1, system.geo.dr, tables.vtab, r))
+    try:
+        return system.potential.v_dv(r, rinv)
+    except TypeError:
+        return system.potential.v_dv(r)
+
+
 def _u_of_r(system: System, tables: Tables, r):
     if system.cfg.wf_table and tables.logwf is not None:
         return interpolate(0, system.geo.dr, tables.logwf, r)
@@ -84,16 +96,20 @@ def delta_pot(system: System, tables: Tables, R, xnew, xold, ip,
 
     def side(x):
         notself, rij2, r, xij = _pair_terms(system, x, R, ip)
+        rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
         if system.pbc:
             m = notself & (rij2 <= geo.rcut2)
         else:
             m = notself  # trap branch: no cutoff on pair terms
-        v = jnp.where(m, _v_of_r(system, tables, r), 0.0)
-        pot = jnp.sum(v, axis=-1)
         F = None
         if with_force:
-            fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
+            vv, dv = _v_dv_of_r(system, tables, r, rinv)
+            pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)
+            fr = jnp.where(m, dv * rinv, 0.0)
             F = jnp.sum(fr[..., None] * xij, axis=-2)  # [B, D]
+        else:
+            pot = jnp.sum(jnp.where(m, _v_of_r(system, tables, r), 0.0),
+                          axis=-1)
         if cfg.trap:
             pot = pot + jas.trap_pot(cfg.a_ho, x)
             if with_force:
@@ -140,6 +156,10 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
 
     F^2 enters only on odd interior beads (weight zero elsewhere); the trial
     WF only at beads 0 and 2*Nb (vpi_mod.f90:2509-2525).
+
+    This is the dense reference-semantics form (forces and WF evaluated on
+    every bead, masked by the weights) — used for parity tests and small
+    windows.  The sampler's hot path uses delta_action_sum below.
     """
     M = system.M
     dt = system.cfg.dt
@@ -149,9 +169,6 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
     even_int = interior & (ib % 2 == 0)
     is_end = ~interior
 
-    # Force term needed only where odd-bead weight is nonzero.  We compute it
-    # unconditionally here (cheap relative to the gather-free fused kernel;
-    # the Pallas path specializes) — the weight masks it exactly.
     dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip, with_force=True)
 
     wv = jnp.where(odd, 4.0 * dt / 3.0,
@@ -163,6 +180,65 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
     dlogpsi = delta_wf(system, tables, R, xnew, xold, ip)
     dS = dS - jnp.where(is_end, dlogpsi, 0.0)
     return dS
+
+
+def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib):
+    """Summed window action delta — the optimized hot path.
+
+    Exploits three structural facts of the Chin action over a contiguous
+    (or bead-reversed) window:
+      * bead parity alternates along the window, so the odd beads (the only
+        ones needing the F^2 force pass) are every second row — evaluated
+        with the fused v+dv kernel on a half-size subset;
+      * even beads need the potential only;
+      * the trial-WF terms live exclusively on beads 0 and 2*Nb
+        (vpi_mod.f90:2519-2525), which can only be the window's first or
+        last row — so the O(N) Jastrow pass runs on at most 2 rows.
+
+    Numerically identical to delta_action(...).sum() (same pair terms, same
+    masks); ~1.8x fewer transcendental evaluations per window.
+    """
+    M = system.M
+    dt = system.cfg.dt
+    ib = jnp.asarray(ib)
+    B = R.shape[0]
+    dtype = xnew.dtype
+
+    if B == 1:
+        return jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib))
+
+    Bh = (B + 1) // 2
+    k = jnp.arange(Bh)
+    ib0 = ib[0]
+    # positions of odd / even beads within the window (parity alternates,
+    # also for reversed windows)
+    p_odd = ((ib0 + 1) % 2) + 2 * k
+    p_even = (ib0 % 2) + 2 * k
+    v_odd = p_odd < B
+    v_even = p_even < B
+    p_odd_c = jnp.minimum(p_odd, B - 1)
+    p_even_c = jnp.minimum(p_even, B - 1)
+
+    # odd interior beads: V + F^2, fused kernel on the half-size subset
+    dpot_o, df2_o = delta_pot(system, tables, R[p_odd_c], xnew[p_odd_c],
+                              xold[p_odd_c], ip, with_force=True)
+    dS_o = (4.0 * dt / 3.0) * dpot_o + (2.0 * dt ** 3 / 9.0) * df2_o
+    dS = jnp.sum(jnp.where(v_odd, dS_o, 0.0))
+
+    # even beads: V only (ends get dt/3, interior 2dt/3)
+    dpot_e, _ = delta_pot(system, tables, R[p_even_c], xnew[p_even_c],
+                          xold[p_even_c], ip, with_force=False)
+    ib_e = ib[p_even_c]
+    interior_e = (ib_e > 0) & (ib_e < M - 1)
+    wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
+    dS = dS + jnp.sum(jnp.where(v_even, wv_e * dpot_e, 0.0))
+
+    # chain-end WF terms: only window rows 0 and B-1 can be beads 0 / 2*Nb
+    rows = jnp.array([0, B - 1])
+    is_end = (ib[rows] == 0) | (ib[rows] == M - 1)
+    dwf = delta_wf(system, tables, R[rows], xnew[rows], xold[rows], ip)
+    dS = dS - jnp.sum(jnp.where(is_end, dwf, 0.0))
+    return dS.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -190,11 +266,15 @@ def pair_pot(system: System, tables: Tables, R, with_force: bool = False):
     else:
         m = notself
     r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
-    v = jnp.where(m, _v_of_r(system, tables, r), 0.0)
+    if with_force:
+        vv, dv = _v_dv_of_r(system, tables, r)
+        v = jnp.where(m, vv, 0.0)
+    else:
+        v = jnp.where(m, _v_of_r(system, tables, r), 0.0)
     pot = 0.5 * jnp.sum(v, axis=(-1, -2))  # each unordered pair once
     F2 = jnp.zeros_like(pot)
     if with_force:
-        fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
+        fr = jnp.where(m, dv / r, 0.0)
         F = jnp.sum(fr[..., None] * xij, axis=-2)  # [N, D]: sum over partners
         if cfg.trap:
             F = F + jas.trap_pot_grad(cfg.a_ho, R)

@@ -41,7 +41,7 @@ def pair_pot_tp(system: System, tables: Tables, mesh: Mesh):
         tp_idx = jax.lax.axis_index("tp")
         nloc = N // ntp
         j0 = tp_idx * nloc
-        Rj = jax.lax.dynamic_slice(R, (j0, 0), (nloc, R.shape[1]))
+        Rj = jax.lax.dynamic_slice_in_dim(R, j0, nloc, axis=0)
         xij = R[:, None, :] - Rj[None, :, :]             # [N, nloc, D]
         if system.pbc:
             xij, rij2 = minimum_image(xij, geo.Lbox)

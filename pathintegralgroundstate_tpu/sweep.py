@@ -180,7 +180,8 @@ class Sweeper:
 
             do_open = (~isopen) & (~closed) & (iupdate == 1)
             k_pick = self._wkeys(k_step, 2, W)
-            cand = jax.vmap(lambda k: jax.random.randint(k, (), 0, Np))(k_pick)
+            cand = jax.vmap(lambda k: jax.random.randint(k, (), 0, Np,
+                                                         dtype=jnp.int32))(k_pick)
             k_open = self._wkeys(k_step, 3, W)
             paths, xend_o, opened, _ = self.v_open(
                 k_open, paths, xend, cand, do_open, self.Lstag)
@@ -199,7 +200,7 @@ class Sweeper:
             ctr = ctr.at[_CIDX["acc_open"]].add(_i32sum(opened))
 
         # ---- 2. CM translations (vpi.f90:329-342 / 412-419) ----
-        do_cm = (state.step % cfg.CMFreq) == 0
+        do_cm = (state.step % max(cfg.CMFreq, 1)) == 0
         delta = system.geo.delta_cm
 
         def cm_body(ip, carry):
@@ -212,7 +213,8 @@ class Sweeper:
             ctr = ctr.at[_CIDX["acc_cm"]].add(_i32sum(acc))
             return paths, ctr
 
-        paths, ctr = lax.fori_loop(0, Np, cm_body, (paths, ctr))
+        if cfg.CMFreq > 0:  # CMFreq<=0 disables the CM sweep structurally
+            paths, ctr = lax.fori_loop(0, Np, cm_body, (paths, ctr))
 
         # ---- 3. staging/bisection sweeps (vpi.f90:344-366 / 421-439) ----
         def stag_body(it, carry):
@@ -237,7 +239,9 @@ class Sweeper:
             ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc_b))
             return paths, ctr
 
-        paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body, (paths, ctr))
+        if cfg.Nstag > 0:
+            paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body,
+                                       (paths, ctr))
 
         # ---- 4. worm updates + OBDM (vpi.f90:370-404) ----
         nrho = stats.nrho
@@ -296,6 +300,11 @@ class Sweeper:
                 (paths, xend, in_cycle, iperm, ctr, nrho))
 
         # ---- 5. estimators for diagonal walkers (vpi.f90:441-469) ----
+        if cfg.measure_every <= 0:  # structural skip (perf bisection / burn-in)
+            state = state._replace(paths=paths, xend=xend, isopen=isopen,
+                                   iworm=iworm, in_cycle=in_cycle, iperm=iperm)
+            return state, stats._replace(nrho=nrho, perm_hist=perm_hist,
+                                         counters=ctr)
         isdiag = ~isopen
         fdiag = isdiag.astype(paths.dtype)
         nd = jnp.sum(fdiag)

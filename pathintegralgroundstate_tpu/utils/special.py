@@ -49,7 +49,7 @@ def bessj0(x):
     num = _poly(y, [-184.9052456, 77392.33017, -11214424.18, 651619640.7,
                     -13362590354.0, 57568490574.0])
     den = _poly(y, [1.0, 267.8532712, 59272.64853, 9494680.718,
-                    1029532985.0, 57568490411.0][::-1])
+                    1029532985.0, 57568490411.0])
     small = num / den
     z = 8.0 / jnp.maximum(ax, 1e-30)
     y2 = z * z
@@ -68,7 +68,7 @@ def bessj1(x):
     num = x * _poly(y, [-30.16036606, 15704.48260, -2972611.439,
                         242396853.1, -7895059235.0, 72362614232.0])
     den = _poly(y, [1.0, 376.9991397, 99447.43394, 18583304.74,
-                    2300535178.0, 144725228442.0][::-1])
+                    2300535178.0, 144725228442.0])
     small = num / den
     z = 8.0 / jnp.maximum(ax, 1e-30)
     y2 = z * z
@@ -123,7 +123,7 @@ def bessy0(x):
     num = _poly(y, [228.4622733, -86327.92757, 10879881.29, -512359803.6,
                     7062834065.0, -2957821389.0])
     den = _poly(y, [1.0, 226.1030244, 47447.26470, 7189466.438,
-                    745249964.8, 40076544269.0][::-1])
+                    745249964.8, 40076544269.0])
     small = num / den + 0.636619772 * bessj0(x) * jnp.log(jnp.maximum(x, 1e-30))
     z = 8.0 / jnp.maximum(x, 1e-30)
     y2 = z * z

@@ -1,15 +1,22 @@
 """Test configuration: CPU backend, 8 fake devices (for sharding tests), x64.
 
-Must run before jax initializes (SURVEY.md §4 'Multi-device without a pod').
+NOTE: this environment's sitecustomize registers the TPU (axon) PJRT plugin
+at interpreter start — before conftest runs — so plain env vars are too
+late.  `jax.config.update("jax_platforms", ...)` works as long as no
+backend has been touched yet, and XLA_FLAGS is still read at first backend
+initialization (SURVEY.md §4 'Multi-device without a pod').
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

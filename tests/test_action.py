@@ -161,3 +161,23 @@ def test_tables_match_closed_form():
     dS_t = delta_action(system_t, tables_t, R, xnew, xold, ip, ib)
     np.testing.assert_allclose(np.asarray(dS_t), np.asarray(dS_c),
                                rtol=2e-2, atol=5e-4)
+
+
+def test_delta_action_sum_equals_dense():
+    """The optimized parity-split window sum must equal the dense form."""
+    from pathintegralgroundstate_tpu.ops.pairwise import delta_action_sum
+    cfg, system, tables, paths = _setup(Np=6)
+    ip = 2
+    key = jax.random.key(9)
+    for ii, B, rev in [(0, 5, False), (3, 4, False), (0, cfg.M, False),
+                       (2, 6, True), (0, 1, False)]:
+        ib = jnp.arange(ii, ii + B)
+        if rev:
+            ib = ib[::-1]
+        R = paths[ib]
+        xold = R[:, ip, :]
+        key, k = jax.random.split(key)
+        xnew = xold + 0.03 * jax.random.normal(k, xold.shape, jnp.float64)
+        dense = jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib))
+        fast = delta_action_sum(system, tables, R, xnew, xold, ip, ib)
+        np.testing.assert_allclose(float(fast), float(dense), rtol=1e-10)

@@ -1,0 +1,89 @@
+"""Worm-algorithm integration tests: open/close toggling, OBDM and
+permutation-cycle accumulation, swap partner exchange (vpi_mod.f90:1821-2487
+semantics on the batched ensemble)."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from pathintegralgroundstate_tpu.config import SimConfig
+from pathintegralgroundstate_tpu.state import init_state
+from pathintegralgroundstate_tpu.sweep import _CIDX, Sweeper, run_block
+from pathintegralgroundstate_tpu.system import make_system, make_tables
+
+
+@functools.lru_cache(maxsize=None)
+def _run(nblocks=3):
+    cfg = SimConfig(dim=3, Np=6, density=0.365, dt=5e-3, Nb=4, sampling="sta",
+                    Lstag=4, Nstag=1, CMFreq=1, delta_cm=0.12, Rm=1.2,
+                    swapping=True, CWorm=0.5, Nobdm=3, Npw=2,
+                    n_walkers=32, dtype="float64", potential="aziz2", seed=3)
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    state = init_state(system)
+    blk = jax.jit(lambda st: run_block(system, tables, sweeper, st, 10))
+    out = []
+    for _ in range(nblocks):
+        state, stats = blk(state)
+        out.append(jax.tree.map(np.asarray, stats))
+    return cfg, system, state, out
+
+
+def test_open_close_toggles_sector():
+    cfg, system, state, stats = _run()
+    c = stats[-1].counters
+    # both sectors get visited and both transitions fire
+    assert c[_CIDX["try_open"]] > 0 and c[_CIDX["acc_open"]] > 0
+    assert c[_CIDX["try_close"]] > 0 and c[_CIDX["acc_close"]] > 0
+    nd = float(stats[-1].n_diag)
+    total = 10 * cfg.n_walkers
+    assert 0 < nd < total  # mixed diagonal/off-diagonal ensemble
+
+
+def test_worm_moves_attempted_and_accepted():
+    cfg, system, state, stats = _run()
+    c = stats[-1].counters
+    assert c[_CIDX["try_cm_half"]] > 0
+    assert c[_CIDX["try_stag_half"]] > 0
+    assert c[_CIDX["acc_cm_half"]] > 0
+    assert c[_CIDX["acc_bd_half"]] > 0
+    assert c[_CIDX["try_swap"]] > 0
+    # acceptances bounded by tries
+    assert c[_CIDX["acc_swap"]] <= c[_CIDX["try_swap"]]
+
+
+def test_obdm_accumulates():
+    cfg, system, state, stats = _run()
+    nrho = sum(s.nrho for s in stats)
+    assert nrho.shape == (cfg.Npw + 1, cfg.Nbin)
+    assert nrho[0].sum() > 0  # m=0 partial wave collected samples
+    # m=0 entries are pure counts (cos(0)=1): non-negative
+    assert (nrho[0] >= 0).all()
+    # higher partial waves bounded by m=0 in magnitude
+    assert np.all(np.abs(nrho[1:]).sum(axis=1) <= nrho[0].sum() + 1e-9)
+
+
+def test_perm_histogram_counts_closed_cycles():
+    cfg, system, state, stats = _run()
+    ph = sum(s.perm_hist for s in stats)
+    c = stats[-1].counters
+    closes = sum(s.counters[_CIDX["acc_close"]] for s in stats)
+    # every accepted close histogram-ed exactly one cycle
+    assert ph.sum() == closes
+    assert ph.sum() > 0
+
+
+def test_open_walkers_have_distinct_ends():
+    cfg, system, state, stats = _run()
+    isopen = np.asarray(state.isopen)
+    xend = np.asarray(state.xend)
+    if isopen.any():
+        gap = np.abs(xend[isopen, 0] - xend[isopen, 1]).max()
+        assert gap > 0  # head and tail separated in an open walker
+    closed = ~isopen
+    if closed.any():
+        # closed walkers keep xend1 == xend2
+        np.testing.assert_allclose(xend[closed, 0], xend[closed, 1])
