@@ -1,8 +1,9 @@
-"""Monte Carlo path updates (single walker; vmapped over the ensemble).
+"""Monte Carlo path updates, batched over the walker ensemble.
 
 Each reference move subroutine (vpi_mod.f90) becomes a pure function
-`(key, paths_w, ...) -> (paths_w', accepted)` on one walker's state
-`paths_w[M, N, D]`; `parallel/sweep.py` vmaps these over the W walker axis.
+`(key, paths, ...) -> (paths', accepted)` over the full ensemble
+`paths[W, M, N, D]` — explicit batch, not vmap, so the hot pair kernels see
+the whole [W, B, N] tensors and can be routed to fused Pallas kernels.
 
 Structural redesign vs the reference (see SURVEY.md §7):
   * The staging *free-particle* reconstruction is a cheap `lax.scan` over the
@@ -18,21 +19,24 @@ Structural redesign vs the reference (see SURVEY.md §7):
   * Variable window lengths (random Ls, vpi_mod.f90:601) use a static
     buffer of Lmax beads with inactive beads proposing xnew == xold, whose
     Delta-S contribution is exactly zero — no masking epsilon anywhere.
+  * Staging windows are drawn on EVEN start beads (the reference draws any
+    start, vpi_mod.f90:498).  Any state-independent window distribution
+    preserves detailed balance; even alignment makes every window position's
+    bead parity static, so the F^2 force pass runs on exactly the odd half
+    and no gathers are needed (ops/pairwise.delta_action_sum).
 
-Every move draws from its own fold-in of the per-walker PRNG key, so the
-ensemble is reproducible and order-independent.
+Randomness: one threefry key per move site, with per-walker independence
+coming from array-shaped draws — reproducible and order-independent.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..system import System, Tables
-from ..utils.pbc import minimum_image, wrap
+from ..utils.pbc import wrap
 from .pairwise import delta_action, delta_action_sum
 
 
@@ -41,8 +45,8 @@ from .pairwise import delta_action, delta_action_sum
 # ---------------------------------------------------------------------------
 
 def metropolis(key, dS):
-    """Metropolis accept for action change dS (vpi_mod.f90:356-364 pattern)."""
-    u = jax.random.uniform(key, dS.shape if hasattr(dS, "shape") else ())
+    """Metropolis accept for action change dS[W] (vpi_mod.f90:356-364)."""
+    u = jax.random.uniform(key, jnp.shape(dS), jnp.result_type(dS))
     return u < jnp.exp(-dS)
 
 
@@ -60,13 +64,38 @@ def _wrap_pos(system: System, x):
     return x
 
 
-def get_chain(paths_w, ip):
-    """Worldline of one particle: [M, D]."""
-    return paths_w[:, ip, :]
+def get_chain(paths, ip):
+    """Worldlines of particle(s) ip: [W, M, D].  ip scalar or [W]."""
+    ip = jnp.asarray(ip)
+    if ip.ndim == 0:
+        return paths[:, :, ip, :]
+    idx = ip[:, None, None, None]
+    return jnp.take_along_axis(paths, idx, axis=2)[:, :, 0, :]
 
 
-def set_chain(paths_w, ip, chain):
-    return paths_w.at[:, ip, :].set(chain)
+def set_chain(paths, ip, chain):
+    """Write chains [W, M, D] back into paths at particle(s) ip."""
+    ip = jnp.asarray(ip)
+    if ip.ndim == 0:
+        return paths.at[:, :, ip, :].set(chain)
+    W = paths.shape[0]
+    # advanced indices ([W,1] x [W,1]) land in front: update shape [W,1,M,D]
+    return paths.at[jnp.arange(W)[:, None], :, ip[:, None], :].set(
+        chain[:, None, :, :])
+
+
+def _slice_beads(arr, ii, L: int):
+    """Per-walker window of L beads starting at ii[W] along axis 1."""
+    def one(a, i):
+        return lax.dynamic_slice_in_dim(a, i, L, axis=0)
+    return jax.vmap(one)(arr, ii)
+
+
+def _update_beads(chain, ii, seg):
+    """Per-walker dynamic update of chain[W, M, D] at beads ii..ii+L-1."""
+    def one(c, i, s):
+        return lax.dynamic_update_slice_in_dim(c, s, i, axis=0)
+    return jax.vmap(one)(chain, ii, seg)
 
 
 # ---------------------------------------------------------------------------
@@ -74,42 +103,44 @@ def set_chain(paths_w, ip, chain):
 # ---------------------------------------------------------------------------
 
 def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
-                   ip, Ls, first_mode: str, first_w, first_pos=None):
-    """Regrow a path segment in 'head orientation'.
+                   ip, Ls, first_mode: str, first_w, first_pos=None,
+                   start_parity=None):
+    """Regrow path segments in 'head orientation', whole ensemble at once.
 
-    seg:    [Lb+1, D] bead positions (index 0 = the end being regrown,
+    seg:    [W, Lb+1, D] bead positions (index 0 = the end being regrown,
             index Ls = the fixed anchor; beads beyond Ls untouched)
-    R_seg:  [Lb+1, N, D] all particles at the segment's beads
-    ib_seg: [Lb+1] true bead indices (drive Chin weights / end-WF terms)
-    Ls:     active segment length (2 <= Ls <= Lb; may be traced per walker)
+    R_seg:  [W, Lb+1, N, D] all particles at the segment's beads
+    ib_seg: [W, Lb+1] true bead indices (drive Chin weights / end-WF terms)
+    Ls:     [W] active segment lengths (2 <= Ls <= Lb)
     first_mode: 'gauss' — free-gaussian guess for bead 0 with
                   sigma = sqrt(Ls*dt) (MoveHead, vpi_mod.f90:619-645);
                 'pin'   — set bead 0 := first_pos (CloseChain / Swap);
                 'fixed' — keep bead 0 (interior Staging).
     first_w: weight multiplying the first bead's Delta-S (0.5 for the worm
              central bead, vpi_mod.f90:1573-1577; 0.0 for Swap's pin).
+    start_parity: static parity of ib_seg[:, 0] (all callers even-align).
 
-    Then beads 1..Ls-1 are rebuilt by the exact staging recursion
-    (vpi_mod.f90:509-549) toward the anchor, and the interaction Delta-S of
-    the whole window is evaluated in one batched pair kernel.
+    Beads 1..Ls-1 are rebuilt by the exact staging recursion
+    (vpi_mod.f90:509-549) toward the anchor; the interaction Delta-S of the
+    whole window is one batched pair kernel.
 
-    Returns (seg_new, dS_first, dS_rest).
+    Returns (seg_new, dS_first[W], dS_rest[W]).
     """
     cfg = system.cfg
     dt = cfg.dt
-    Lb = seg.shape[0] - 1
-    D = seg.shape[-1]
+    W, Lbp1, D = seg.shape
+    Lb = Lbp1 - 1
     dtype = seg.dtype
     k_first, k_stag = jax.random.split(key)
 
     Ls = jnp.asarray(Ls, jnp.int32)
-    anchor = jnp.take(seg, Ls, axis=0)  # fixed far end of the active window
-    xold0 = seg[0]
+    anchor = jnp.take_along_axis(seg, Ls[:, None, None], axis=1)[:, 0]  # [W,D]
+    xold0 = seg[:, 0]
 
     if first_mode == "gauss":
-        g = jax.random.normal(k_first, (D,), dtype)
+        g = jax.random.normal(k_first, (W, D), dtype)
         xmid = xold0 - _mi(system, xold0 - anchor)  # unwrap anchor near xold0
-        sigma = jnp.sqrt(Ls.astype(dtype) * dt)
+        sigma = jnp.sqrt(Ls.astype(dtype) * dt)[:, None]
         xnew0 = _wrap_pos(system, xmid + sigma * g)
     elif first_mode == "pin":
         xnew0 = jnp.asarray(first_pos, dtype)
@@ -119,19 +150,20 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
         raise ValueError(first_mode)
 
     if first_mode == "fixed":
-        dS_first = jnp.zeros((), dtype)
+        dS_first = jnp.zeros((W,), dtype)
     else:
-        dS_first = first_w * delta_action(
-            system, tables, R_seg[:1], xnew0[None], xold0[None], ip, ib_seg[:1])[0]
+        dS_first = first_w * jnp.sum(delta_action(
+            system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
+            ip, ib_seg[:, :1]), axis=-1)
 
     # staging reconstruction of beads 1..Ls-1 (scan over the static buffer)
-    xolds = seg[1:Lb]  # [Lb-1, D]
-    gs = jax.random.normal(k_stag, (Lb - 1, D), dtype)
+    xolds = seg[:, 1:Lb]  # [W, Lb-1, D]
+    gs = jax.random.normal(k_stag, (Lb - 1, W, D), dtype)
 
     def body(prev_new, inp):
         j, g, xold_j = inp
-        active = j < Ls
-        nrem = jnp.maximum(Ls - j, 1).astype(dtype)  # = Ls-j on active beads
+        active = (j < Ls)[:, None]
+        nrem = jnp.maximum(Ls - j, 1).astype(dtype)[:, None]
         xprev = xold_j + _mi(system, prev_new - xold_j)
         xnext = xold_j - _mi(system, xold_j - anchor)
         sigma = jnp.sqrt(nrem / (nrem + 1.0) * dt)
@@ -140,12 +172,16 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
         xnew_j = jnp.where(active, xnew_j, xold_j)
         return xnew_j, xnew_j
 
-    _, xnews = lax.scan(body, xnew0, (jnp.arange(1, Lb), gs, xolds))
+    _, xnews = lax.scan(body, xnew0,
+                        (jnp.arange(1, Lb), gs, xolds.swapaxes(0, 1)))
+    xnews = xnews.swapaxes(0, 1)  # [W, Lb-1, D]
 
+    rest_parity = None if start_parity is None else (start_parity + 1) % 2
     dS_rest = delta_action_sum(
-        system, tables, R_seg[1:Lb], xnews, xolds, ip, ib_seg[1:Lb])
+        system, tables, R_seg[:, 1:Lb], xnews, xolds, ip, ib_seg[:, 1:Lb],
+        start_parity=rest_parity)
 
-    seg_new = seg.at[0].set(xnew0).at[1:Lb].set(xnews)
+    seg_new = seg.at[:, 0].set(xnew0).at[:, 1:Lb].set(xnews)
     return seg_new, dS_first, dS_rest
 
 
@@ -153,176 +189,202 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
 # Rigid translations (TranslateChain, vpi_mod.f90:313-379)
 # ---------------------------------------------------------------------------
 
-def translate_chain(system: System, tables: Tables, key, paths_w, ip, active,
+def translate_chain(system: System, tables: Tables, key, paths, ip, active,
                     delta):
-    """Rigid CM displacement of one particle's whole worldline."""
+    """Rigid CM displacement of one particle's whole worldline (ensemble)."""
     M = system.M
+    W = paths.shape[0]
     D = system.cfg.dim
     k_dx, k_acc = jax.random.split(key)
-    dx = delta * (2.0 * jax.random.uniform(k_dx, (D,), paths_w.dtype) - 1.0)
-    chain = get_chain(paths_w, ip)
+    dx = delta * (2.0 * jax.random.uniform(k_dx, (W, 1, D), paths.dtype) - 1.0)
+    chain = get_chain(paths, ip)                     # [W, M, D]
     xnew = _wrap_pos(system, chain + dx)
-    dS = delta_action_sum(system, tables, paths_w, xnew, chain, ip,
-                          jnp.arange(M))
+    ib = jnp.broadcast_to(jnp.arange(M), (W, M))
+    dS = delta_action_sum(system, tables, paths, xnew, chain, ip, ib,
+                          start_parity=0)
     acc = metropolis(k_acc, dS) & active
-    chain_new = jnp.where(acc, xnew, chain)
-    return set_chain(paths_w, ip, chain_new), acc
+    chain_new = jnp.where(acc[:, None, None], xnew, chain)
+    return set_chain(paths, ip, chain_new), acc
 
 
-def translate_half_chain(system: System, tables: Tables, key, paths_w, xend_w,
+def translate_half_chain(system: System, tables: Tables, key, paths, xend,
                          ip, half: int, active, delta):
     """Rigid displacement of one worm half (vpi_mod.f90:383-476).
 
-    Bead Nb is first pinned to xend[half] (this pin persists even on
-    rejection, exactly as in the reference, vpi_mod.f90:400-402).
-    half is static: 1 -> beads [0..Nb], 2 -> beads [Nb..2Nb].
+    Bead Nb is first pinned to xend[half] (the pin persists even on
+    rejection, as in the reference, vpi_mod.f90:400-402).
+    half static: 1 -> beads [0..Nb], 2 -> beads [Nb..2Nb].
     """
     cfg = system.cfg
     Nb, D = cfg.Nb, cfg.dim
+    W = paths.shape[0]
     k_dx, k_acc = jax.random.split(key)
-    chain = get_chain(paths_w, ip).at[Nb].set(xend_w[half - 1])
+    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     lo, hi = (0, Nb + 1) if half == 1 else (Nb, 2 * Nb + 1)
-    ib_seg = jnp.arange(lo, hi)
-    xold = chain[lo:hi]
-    dx = delta * (2.0 * jax.random.uniform(k_dx, (D,), paths_w.dtype) - 1.0)
+    ib = jnp.broadcast_to(jnp.arange(lo, hi), (W, hi - lo))
+    xold = chain[:, lo:hi]
+    dx = delta * (2.0 * jax.random.uniform(k_dx, (W, 1, D), paths.dtype) - 1.0)
     xnew = _wrap_pos(system, xold + dx)
-    dS = delta_action_sum(system, tables, paths_w[lo:hi], xnew, xold, ip,
-                          ib_seg)
+    dS = delta_action_sum(system, tables, paths[:, lo:hi], xnew, xold, ip, ib,
+                          start_parity=lo % 2)
     acc = metropolis(k_acc, dS) & active
-    seg_fin = jnp.where(acc, xnew, xold)
-    chain = chain.at[lo:hi].set(seg_fin)
-    xend_w = xend_w.at[half - 1].set(chain[Nb])
-    return set_chain(paths_w, ip, chain), xend_w, acc
+    seg_fin = jnp.where(acc[:, None, None], xnew, xold)
+    chain = chain.at[:, lo:hi].set(seg_fin)
+    xend = xend.at[:, half - 1].set(chain[:, Nb])
+    return set_chain(paths, ip, chain), xend, acc
 
 
 # ---------------------------------------------------------------------------
 # Staging moves (Staging, vpi_mod.f90:480-578)
 # ---------------------------------------------------------------------------
 
-def staging_move(system: System, tables: Tables, key, paths_w, ip, active,
+def _even_randint(key, W, n_opts):
+    """Even offsets: 2 * U{0 .. n_opts-1} (even-aligned windows)."""
+    return 2 * jax.random.randint(key, (W,), 0, n_opts, dtype=jnp.int32)
+
+
+def staging_move(system: System, tables: Tables, key, paths, ip, active,
                  L: int):
-    """Interior staging over a random window of L links."""
+    """Interior staging over a random even-aligned window of L links."""
     M = system.M
+    W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
-    ii = jax.random.randint(k_ii, (), 0, M - L)  # int((2Nb-L+1)*u), vpi_mod.f90:498
-    chain = get_chain(paths_w, ip)
-    seg = lax.dynamic_slice(chain, (ii, 0), (L + 1, chain.shape[1]))
-    R_seg = lax.dynamic_slice(
-        paths_w, (ii, 0, 0), (L + 1,) + paths_w.shape[1:])
-    ib_seg = ii + jnp.arange(L + 1)
+    ii = _even_randint(k_ii, W, (M - 1 - L) // 2 + 1)
+    chain = get_chain(paths, ip)
+    seg = _slice_beads(chain, ii, L + 1)
+    R_seg = _slice_beads(paths, ii, L + 1)
+    ib_seg = ii[:, None] + jnp.arange(L + 1)
+    Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, L, "fixed", 1.0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+        start_parity=0)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    seg_fin = jnp.where(acc, seg_new, seg)
-    chain = lax.dynamic_update_slice(chain, seg_fin, (ii, 0))
-    return set_chain(paths_w, ip, chain), acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    chain = _update_beads(chain, ii, seg_fin)
+    return set_chain(paths, ip, chain), acc
 
 
-def staging_half_chain(system: System, tables: Tables, key, paths_w, xend_w,
+def staging_half_chain(system: System, tables: Tables, key, paths, xend,
                        ip, half: int, active, L: int):
     """Staging confined to one worm half (vpi_mod.f90:1376-1491)."""
     cfg = system.cfg
     Nb = cfg.Nb
+    W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
-    chain = get_chain(paths_w, ip).at[Nb].set(xend_w[half - 1])
-    paths_pin = paths_w  # pin affects only the moved particle's own beads
+    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     base = 0 if half == 1 else Nb
-    ii = base + jax.random.randint(k_ii, (), 0, Nb - L + 1)
-    seg = lax.dynamic_slice(chain, (ii, 0), (L + 1, chain.shape[1]))
-    R_seg = lax.dynamic_slice(
-        paths_pin, (ii, 0, 0), (L + 1,) + paths_w.shape[1:])
-    ib_seg = ii + jnp.arange(L + 1)
+    # even-aligned start within the half; base=Nb keeps alignment iff Nb even
+    par = base % 2
+    ii = base + _even_randint(k_ii, W, (Nb - L) // 2 + 1)
+    seg = _slice_beads(chain, ii, L + 1)
+    R_seg = _slice_beads(paths, ii, L + 1)
+    ib_seg = ii[:, None] + jnp.arange(L + 1)
+    Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, L, "fixed", 1.0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+        start_parity=par)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    seg_fin = jnp.where(acc, seg_new, seg)
-    chain = lax.dynamic_update_slice(chain, seg_fin, (ii, 0))
-    xend_w = xend_w.at[half - 1].set(chain[Nb])
-    return set_chain(paths_w, ip, chain), xend_w, acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    chain = _update_beads(chain, ii, seg_fin)
+    xend = xend.at[:, half - 1].set(chain[:, Nb])
+    return set_chain(paths, ip, chain), xend, acc
 
 
 # ---------------------------------------------------------------------------
 # Head / tail open-end moves (MoveHead/MoveTail, vpi_mod.f90:582-860)
 # ---------------------------------------------------------------------------
 
-def _rand_ls(key, Lmax: int):
+def _rand_ls(key, W, Lmax: int):
     """Ls = int((Lmax-1)*u)+2 in [2, Lmax] (vpi_mod.f90:601)."""
-    return jax.random.randint(key, (), 0, Lmax - 1) + 2
+    return jax.random.randint(key, (W,), 0, Lmax - 1, dtype=jnp.int32) + 2
 
 
-def move_head(system: System, tables: Tables, key, paths_w, ip, active,
+def move_head(system: System, tables: Tables, key, paths, ip, active,
               Lmax: int):
     """Regrow the first Ls beads from a free-gaussian guess for bead 0."""
+    W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
-    Ls = _rand_ls(k_ls, Lmax)
-    chain = get_chain(paths_w, ip)
-    seg = chain[: Lmax + 1]
-    R_seg = paths_w[: Lmax + 1]
-    ib_seg = jnp.arange(Lmax + 1)
+    Ls = _rand_ls(k_ls, W, Lmax)
+    chain = get_chain(paths, ip)
+    seg = chain[:, : Lmax + 1]
+    R_seg = paths[:, : Lmax + 1]
+    ib_seg = jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1))
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+        start_parity=0)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    chain = chain.at[: Lmax + 1].set(jnp.where(acc, seg_new, seg))
-    return set_chain(paths_w, ip, chain), acc
+    chain = chain.at[:, : Lmax + 1].set(
+        jnp.where(acc[:, None, None], seg_new, seg))
+    return set_chain(paths, ip, chain), acc
 
 
-def move_tail(system: System, tables: Tables, key, paths_w, ip, active,
+def move_tail(system: System, tables: Tables, key, paths, ip, active,
               Lmax: int):
     """Mirror of move_head at the far end, via the bead-reversed segment."""
     M = system.M
+    W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
-    Ls = _rand_ls(k_ls, Lmax)
-    chain = get_chain(paths_w, ip)
-    seg = chain[M - 1 - Lmax:][::-1]
-    R_seg = paths_w[M - 1 - Lmax:][::-1]
-    ib_seg = jnp.arange(M - 1, M - 2 - Lmax, -1)
+    Ls = _rand_ls(k_ls, W, Lmax)
+    chain = get_chain(paths, ip)
+    seg = chain[:, M - 1 - Lmax:][:, ::-1]
+    R_seg = paths[:, M - 1 - Lmax:][:, ::-1]
+    ib_seg = jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1),
+                              (W, Lmax + 1))
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+        start_parity=(M - 1) % 2)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    chain = chain.at[M - 1 - Lmax:].set(jnp.where(acc, seg_new, seg)[::-1])
-    return set_chain(paths_w, ip, chain), acc
+    chain = chain.at[:, M - 1 - Lmax:].set(
+        jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
+    return set_chain(paths, ip, chain), acc
 
 
-def move_head_half_chain(system: System, tables: Tables, key, paths_w, xend_w,
+def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
                          ip, half: int, active, Lmax: int):
     """MoveHeadHalfChain (vpi_mod.f90:1495-1656): half=1 regrows from bead 0,
     half=2 from the central bead Nb (with the half-weight 1/2 on its dS)."""
     cfg = system.cfg
     Nb = cfg.Nb
+    W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
-    Ls = _rand_ls(k_ls, Lmax)
-    chain = get_chain(paths_w, ip).at[Nb].set(xend_w[half - 1])
+    Ls = _rand_ls(k_ls, W, Lmax)
+    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     lo = 0 if half == 1 else Nb
     w0 = 1.0 if half == 1 else 0.5
-    seg = chain[lo: lo + Lmax + 1]
-    R_seg = paths_w[lo: lo + Lmax + 1]
-    ib_seg = lo + jnp.arange(Lmax + 1)
+    seg = chain[:, lo: lo + Lmax + 1]
+    R_seg = paths[:, lo: lo + Lmax + 1]
+    ib_seg = jnp.broadcast_to(lo + jnp.arange(Lmax + 1), (W, Lmax + 1))
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
+        start_parity=lo % 2)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    chain = chain.at[lo: lo + Lmax + 1].set(jnp.where(acc, seg_new, seg))
-    xend_w = xend_w.at[half - 1].set(chain[Nb])
-    return set_chain(paths_w, ip, chain), xend_w, acc
+    chain = chain.at[:, lo: lo + Lmax + 1].set(
+        jnp.where(acc[:, None, None], seg_new, seg))
+    xend = xend.at[:, half - 1].set(chain[:, Nb])
+    return set_chain(paths, ip, chain), xend, acc
 
 
-def move_tail_half_chain(system: System, tables: Tables, key, paths_w, xend_w,
+def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
                          ip, half: int, active, Lmax: int):
     """MoveTailHalfChain (vpi_mod.f90:1660-1817): half=1 regrows the central
     bead Nb (weight 1/2), half=2 the last bead 2*Nb."""
     cfg = system.cfg
     Nb, M = cfg.Nb, system.M
+    W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
-    Ls = _rand_ls(k_ls, Lmax)
-    chain = get_chain(paths_w, ip).at[Nb].set(xend_w[half - 1])
+    Ls = _rand_ls(k_ls, W, Lmax)
+    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     hi = Nb if half == 1 else 2 * Nb  # bead being regrown (segment end)
     w0 = 0.5 if half == 1 else 1.0
     lo = hi - Lmax
-    seg = chain[lo: hi + 1][::-1]
-    R_seg = paths_w[lo: hi + 1][::-1]
-    ib_seg = jnp.arange(hi, lo - 1, -1)
+    seg = chain[:, lo: hi + 1][:, ::-1]
+    R_seg = paths[:, lo: hi + 1][:, ::-1]
+    ib_seg = jnp.broadcast_to(jnp.arange(hi, lo - 1, -1), (W, Lmax + 1))
     seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
+        start_parity=hi % 2)
     acc = metropolis(k_acc, dS0 + dSr) & active
-    chain = chain.at[lo: hi + 1].set(jnp.where(acc, seg_new, seg)[::-1])
-    xend_w = xend_w.at[half - 1].set(chain[Nb])
-    return set_chain(paths_w, ip, chain), xend_w, acc
+    chain = chain.at[:, lo: hi + 1].set(
+        jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
+    xend = xend.at[:, half - 1].set(chain[:, Nb])
+    return set_chain(paths, ip, chain), xend, acc

@@ -35,20 +35,35 @@ from ..utils.interpolate import interpolate
 from ..utils.pbc import minimum_image
 
 
-def _pair_terms(system: System, x, R, ip):
-    """Displacements of x[B,D] against all partners R[B,N,D].
+def _self_mask(R, ip):
+    """notself mask broadcastable against [..., B, N] pair arrays.
 
-    Returns (mask[B,N], r[B,N], xij[B,N,D]) with self-pair masked out and the
-    minimum image applied under PBC.  r is 1.0 at masked slots (safe for 1/r).
+    ip may be a scalar (one particle for the whole batch) or a [W] array
+    (per-walker particle, e.g. the worm); R is [..., N, D]."""
+    N = R.shape[-2]
+    iota = jnp.arange(N)
+    ip = jnp.asarray(ip)
+    if ip.ndim == 0:
+        return iota != ip  # [N]
+    # [W] -> [W, 1, N] against [W, B, N]
+    return iota[None, None, :] != ip[:, None, None]
+
+
+def _pair_terms(system: System, x, R, ip):
+    """Displacements of x[..., B, D] against all partners R[..., B, N, D].
+
+    Returns (mask, rij2, r, xij) with self-pair masked out and the minimum
+    image applied under PBC.  r is 1.0 at masked slots (safe for 1/r).
+    Works single-walker ([B, ...]) and batched ([W, B, ...]).
     """
-    xij = x[..., None, :] - R  # [B, N, D]
+    xij = x[..., None, :] - R  # [..., B, N, D]
     if system.pbc:
         xij, rij2 = minimum_image(xij, system.geo.Lbox)
     else:
         rij2 = jnp.sum(xij * xij, axis=-1)
-    N = R.shape[-2]
-    notself = jnp.arange(N) != ip
+    notself = _self_mask(R, ip)
     r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
+    notself = jnp.broadcast_to(notself, rij2.shape)
     return notself, rij2, r, xij
 
 
@@ -93,6 +108,11 @@ def delta_pot(system: System, tables: Tables, R, xnew, xold, ip,
     Returns (dPot[B], dF2[B]); dF2 is zeros when with_force=False.
     """
     geo, cfg = system.geo, system.cfg
+
+    if cfg.use_pallas and jnp.ndim(R) == 4:
+        from .pallas_kernels import pallas_ok, pair_delta_pallas
+        if pallas_ok(system, R):
+            return pair_delta_pallas(system, R, xnew, xold, ip, with_force)
 
     def side(x):
         notself, rij2, r, xij = _pair_terms(system, x, R, ip)
@@ -182,7 +202,8 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
     return dS
 
 
-def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib):
+def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
+                     start_parity: Optional[int] = None):
     """Summed window action delta — the optimized hot path.
 
     Exploits three structural facts of the Chin action over a contiguous
@@ -195,50 +216,94 @@ def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib):
         (vpi_mod.f90:2519-2525), which can only be the window's first or
         last row — so the O(N) Jastrow pass runs on at most 2 rows.
 
-    Numerically identical to delta_action(...).sum() (same pair terms, same
-    masks); ~1.8x fewer transcendental evaluations per window.
+    start_parity: parity of ib[0] when known statically (all sampler windows
+    are even-aligned, see ops/moves.py) — turns the subset selection into
+    static strided slices.  None falls back to dynamic gathers
+    (single-walker only).
+
+    Shapes: R [..., B, N, D]; xnew/xold [..., B, D]; ib [..., B].
+    Returns the window sum with the batch shape (scalar single-walker,
+    [W] batched).  Numerically identical to summing delta_action over the
+    window's bead axis.
     """
     M = system.M
     dt = system.cfg.dt
     ib = jnp.asarray(ib)
-    B = R.shape[0]
+    B = R.shape[-3]
     dtype = xnew.dtype
 
     if B == 1:
-        return jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib))
+        return jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib),
+                       axis=-1)
 
-    Bh = (B + 1) // 2
-    k = jnp.arange(Bh)
-    ib0 = ib[0]
-    # positions of odd / even beads within the window (parity alternates,
-    # also for reversed windows)
-    p_odd = ((ib0 + 1) % 2) + 2 * k
-    p_even = (ib0 % 2) + 2 * k
-    v_odd = p_odd < B
-    v_even = p_even < B
-    p_odd_c = jnp.minimum(p_odd, B - 1)
-    p_even_c = jnp.minimum(p_even, B - 1)
+    if start_parity is not None:
+        # static strided subsets: odd beads at positions (1-start_parity)::2
+        po = (1 - start_parity) % 2
+        pe = start_parity % 2
+        dpot_o, df2_o = delta_pot(
+            system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
+            xold[..., po::2, :], ip, with_force=True)
+        dS = jnp.sum((4.0 * dt / 3.0) * dpot_o
+                     + (2.0 * dt ** 3 / 9.0) * df2_o, axis=-1)
+        dpot_e, _ = delta_pot(
+            system, tables, R[..., pe::2, :, :], xnew[..., pe::2, :],
+            xold[..., pe::2, :], ip, with_force=False)
+        ib_e = ib[..., pe::2]
+        interior_e = (ib_e > 0) & (ib_e < M - 1)
+        wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
+        dS = dS + jnp.sum(wv_e * dpot_e, axis=-1)
+    else:
+        if R.ndim != 3:
+            raise ValueError("dynamic-parity path supports single-walker "
+                             "windows only; pass start_parity when batched")
+        Bh = (B + 1) // 2
+        k = jnp.arange(Bh)
+        ib0 = ib[0]
+        p_odd = ((ib0 + 1) % 2) + 2 * k
+        p_even = (ib0 % 2) + 2 * k
+        v_odd = p_odd < B
+        v_even = p_even < B
+        p_odd_c = jnp.minimum(p_odd, B - 1)
+        p_even_c = jnp.minimum(p_even, B - 1)
 
-    # odd interior beads: V + F^2, fused kernel on the half-size subset
-    dpot_o, df2_o = delta_pot(system, tables, R[p_odd_c], xnew[p_odd_c],
-                              xold[p_odd_c], ip, with_force=True)
-    dS_o = (4.0 * dt / 3.0) * dpot_o + (2.0 * dt ** 3 / 9.0) * df2_o
-    dS = jnp.sum(jnp.where(v_odd, dS_o, 0.0))
+        dpot_o, df2_o = delta_pot(system, tables, R[p_odd_c], xnew[p_odd_c],
+                                  xold[p_odd_c], ip, with_force=True)
+        dS_o = (4.0 * dt / 3.0) * dpot_o + (2.0 * dt ** 3 / 9.0) * df2_o
+        dS = jnp.sum(jnp.where(v_odd, dS_o, 0.0))
 
-    # even beads: V only (ends get dt/3, interior 2dt/3)
-    dpot_e, _ = delta_pot(system, tables, R[p_even_c], xnew[p_even_c],
-                          xold[p_even_c], ip, with_force=False)
-    ib_e = ib[p_even_c]
-    interior_e = (ib_e > 0) & (ib_e < M - 1)
-    wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
-    dS = dS + jnp.sum(jnp.where(v_even, wv_e * dpot_e, 0.0))
+        dpot_e, _ = delta_pot(system, tables, R[p_even_c], xnew[p_even_c],
+                              xold[p_even_c], ip, with_force=False)
+        ib_e = ib[p_even_c]
+        interior_e = (ib_e > 0) & (ib_e < M - 1)
+        wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
+        dS = dS + jnp.sum(jnp.where(v_even, wv_e * dpot_e, 0.0))
 
     # chain-end WF terms: only window rows 0 and B-1 can be beads 0 / 2*Nb
     rows = jnp.array([0, B - 1])
-    is_end = (ib[rows] == 0) | (ib[rows] == M - 1)
-    dwf = delta_wf(system, tables, R[rows], xnew[rows], xold[rows], ip)
-    dS = dS - jnp.sum(jnp.where(is_end, dwf, 0.0))
+    is_end = (jnp.take(ib, rows, axis=-1) == 0) | \
+             (jnp.take(ib, rows, axis=-1) == M - 1)
+    dwf = delta_wf(system, tables, jnp.take(R, rows, axis=-3),
+                   jnp.take(xnew, rows, axis=-2),
+                   jnp.take(xold, rows, axis=-2), ip)
+    dS = dS - jnp.sum(jnp.where(is_end, dwf, 0.0), axis=-1)
     return dS.astype(dtype)
+
+
+def delta_action_level(system: System, tables: Tables, R, xnew, xold, ip,
+                       odd_beads: bool):
+    """Summed action delta for a bisection level's midpoints.
+
+    Midpoints are never chain ends (no WF pass) and — with even-aligned
+    windows — share one static parity: the finest level's midpoints are odd
+    (carry the F^2 term), all coarser levels even (potential only).
+    """
+    dt = system.cfg.dt
+    if odd_beads:
+        dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip,
+                              with_force=True)
+        return jnp.sum((4.0 * dt / 3.0) * dpot + (2.0 * dt ** 3 / 9.0) * df2)
+    dpot, _ = delta_pot(system, tables, R, xnew, xold, ip, with_force=False)
+    return jnp.sum((2.0 * dt / 3.0) * dpot)
 
 
 # ---------------------------------------------------------------------------

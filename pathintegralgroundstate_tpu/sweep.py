@@ -96,33 +96,26 @@ class Sweeper:
         s, t = system, tables
         cfg = system.cfg
 
-        # vmapped single-walker moves: axes (key, paths, [xend], ip, active, ...)
-        self.v_translate = _vm(partial(mv.translate_chain, s, t),
-                               0, 0, 0, 0, None)
-        self.v_staging = _vm(partial(mv.staging_move, s, t), 0, 0, 0, 0, None)
-        self.v_head = _vm(partial(mv.move_head, s, t), 0, 0, 0, 0, None)
-        self.v_tail = _vm(partial(mv.move_tail, s, t), 0, 0, 0, 0, None)
-        self.v_bisect = _vm(partial(bis.bisection, s, t), 0, 0, 0, 0, None)
-        self.v_head_bis = _vm(partial(bis.move_head_bisection, s, t),
-                              0, 0, 0, 0, None)
-        self.v_tail_bis = _vm(partial(bis.move_tail_bisection, s, t),
-                              0, 0, 0, 0, None)
+        # batched moves operate on the whole ensemble (explicit W axis)
+        self.v_translate = partial(mv.translate_chain, s, t)
+        self.v_staging = partial(mv.staging_move, s, t)
+        self.v_head = partial(mv.move_head, s, t)
+        self.v_tail = partial(mv.move_tail, s, t)
+        self.v_bisect = partial(bis.bisection, s, t)
+        self.v_head_bis = partial(bis.move_head_bisection, s, t)
+        self.v_tail_bis = partial(bis.move_tail_bisection, s, t)
         self.v_trans_half = {
-            h: _vm(partial(mv.translate_half_chain, s, t),
-                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+            h: partial(mv.translate_half_chain, s, t) for h in (1, 2)}
         self.v_stag_half = {
-            h: _vm(partial(mv.staging_half_chain, s, t),
-                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+            h: partial(mv.staging_half_chain, s, t) for h in (1, 2)}
         self.v_head_half = {
-            h: _vm(partial(mv.move_head_half_chain, s, t),
-                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
+            h: partial(mv.move_head_half_chain, s, t) for h in (1, 2)}
         self.v_tail_half = {
-            h: _vm(partial(mv.move_tail_half_chain, s, t),
-                   0, 0, 0, 0, None, 0, None) for h in (1, 2)}
-        self.v_open = _vm(partial(wm.open_chain, s, t), 0, 0, 0, 0, 0, None)
-        self.v_close = _vm(partial(wm.close_chain, s, t), 0, 0, 0, 0, 0, None)
-        self.v_swap = _vm(partial(wm.swap_move, s, t), 0, 0, 0, 0, 0, None)
-        self.v_obdm = _vm(partial(wm.obdm_terms, s), 0)
+            h: partial(mv.move_tail_half_chain, s, t) for h in (1, 2)}
+        self.v_open = partial(wm.open_chain, s, t)
+        self.v_close = partial(wm.close_chain, s, t)
+        self.v_swap = partial(wm.swap_move, s, t)
+        self.v_obdm = partial(wm.obdm_terms, s)
         self.v_local_e = _vm(partial(est.local_energy, s, t), 0)
         self.v_therm_e = _vm(partial(est.therm_energy, s, t), 0)
         self.v_gr = _vm(partial(est.pair_correlation, s), 0)
@@ -136,14 +129,13 @@ class Sweeper:
     # -- key plumbing -------------------------------------------------------
 
     @staticmethod
-    def _wkeys(key, tag, W):
-        return jax.random.split(jax.random.fold_in(key, tag), W)
+    def _mk(key, tag):
+        return jax.random.fold_in(key, tag)
 
     @staticmethod
-    def _wkeys_t(key, tag, ip, W):
-        """Per-walker keys for a traced loop index."""
-        k = jax.random.fold_in(jax.random.fold_in(key, tag), ip)
-        return jax.random.split(k, W)
+    def _mk_t(key, tag, it):
+        """Move-site key for a traced loop index."""
+        return jax.random.fold_in(jax.random.fold_in(key, tag), it)
 
     # -- the sweep ----------------------------------------------------------
 
@@ -165,13 +157,11 @@ class Sweeper:
 
         # ---- 1. open/close attempts (vpi.f90:302-323) ----
         if cfg.CWorm > 0.0:
-            k_upd = self._wkeys(k_step, 0, W)
-            iupdate = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2))(k_upd)
+            iupdate = jax.random.randint(self._mk(k_step, 0), (W,), 0, 2)
 
             do_close = isopen & (iupdate == 0)
-            k_close = self._wkeys(k_step, 1, W)
             paths, xend, closed = self.v_close(
-                k_close, paths, xend, iworm, do_close, self.Lstag)
+                self._mk(k_step, 1), paths, xend, iworm, do_close, self.Lstag)
             # permutation bookkeeping: histogram the ended cycle
             perm_hist = perm_hist + jnp.zeros_like(perm_hist).at[
                 jnp.clip(iperm - 1, 0, Np - 1)].add(
@@ -179,12 +169,10 @@ class Sweeper:
             isopen = isopen & ~closed
 
             do_open = (~isopen) & (~closed) & (iupdate == 1)
-            k_pick = self._wkeys(k_step, 2, W)
-            cand = jax.vmap(lambda k: jax.random.randint(k, (), 0, Np,
-                                                         dtype=jnp.int32))(k_pick)
-            k_open = self._wkeys(k_step, 3, W)
-            paths, xend_o, opened, _ = self.v_open(
-                k_open, paths, xend, cand, do_open, self.Lstag)
+            cand = jax.random.randint(self._mk(k_step, 2), (W,), 0, Np,
+                                      dtype=jnp.int32)
+            paths, xend_o, opened = self.v_open(
+                self._mk(k_step, 3), paths, xend, cand, do_open, self.Lstag)
             xend = jnp.where(do_open[:, None, None], xend_o, xend)
             iworm = jnp.where(opened, cand, iworm)
             isopen = isopen | opened
@@ -206,9 +194,8 @@ class Sweeper:
         def cm_body(ip, carry):
             paths, ctr = carry
             active = (~isopen | (iworm != ip)) & do_cm
-            keys = self._wkeys_t(k_step, 10, ip, W)
-            ips = jnp.full((W,), ip, jnp.int32)
-            paths, acc = self.v_translate(keys, paths, ips, active, delta)
+            paths, acc = self.v_translate(
+                self._mk_t(k_step, 10, ip), paths, ip, active, delta)
             ctr = ctr.at[_CIDX["try_cm"]].add(_i32sum(active))
             ctr = ctr.at[_CIDX["acc_cm"]].add(_i32sum(acc))
             return paths, ctr
@@ -221,18 +208,17 @@ class Sweeper:
             paths, ctr = carry
             ip = it % Np
             active = ~isopen | (iworm != ip)
-            ips = jnp.full((W,), ip, jnp.int32)
-            kh = self._wkeys_t(k_step, 20, it, W)
-            kt = self._wkeys_t(k_step, 21, it, W)
-            kb = self._wkeys_t(k_step, 22, it, W)
+            kh = self._mk_t(k_step, 20, it)
+            kt = self._mk_t(k_step, 21, it)
+            kb = self._mk_t(k_step, 22, it)
             if self.use_bisection:
-                paths, acc_h = self.v_head_bis(kh, paths, ips, active, self.Nlev)
-                paths, acc_t = self.v_tail_bis(kt, paths, ips, active, self.Nlev)
-                paths, acc_b = self.v_bisect(kb, paths, ips, active, self.Nlev)
+                paths, acc_h = self.v_head_bis(kh, paths, ip, active, self.Nlev)
+                paths, acc_t = self.v_tail_bis(kt, paths, ip, active, self.Nlev)
+                paths, acc_b = self.v_bisect(kb, paths, ip, active, self.Nlev)
             else:
-                paths, acc_h = self.v_head(kh, paths, ips, active, self.Lstag)
-                paths, acc_t = self.v_tail(kt, paths, ips, active, self.Lstag)
-                paths, acc_b = self.v_staging(kb, paths, ips, active, self.Lstag)
+                paths, acc_h = self.v_head(kh, paths, ip, active, self.Lstag)
+                paths, acc_t = self.v_tail(kt, paths, ip, active, self.Lstag)
+                paths, acc_b = self.v_staging(kb, paths, ip, active, self.Lstag)
             ctr = ctr.at[_CIDX["try_stag"]].add(_i32sum(active))
             ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
             ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
@@ -251,16 +237,16 @@ class Sweeper:
                 act = isopen
                 nact = _i32sum(act)
                 for h in (1, 2):
-                    keys = self._wkeys_t(k_step, 30 + h, iobdm, W)
                     paths, xend, acc = self.v_trans_half[h](
-                        keys, paths, xend, iworm, h, act, delta)
+                        self._mk_t(k_step, 30 + h, iobdm), paths, xend,
+                        iworm, h, act, delta)
                     ctr = ctr.at[_CIDX["try_cm_half"]].add(nact)
                     ctr = ctr.at[_CIDX["acc_cm_half"]].add(
                         _i32sum(acc))
                 for h in (1, 2):
-                    kh = self._wkeys_t(k_step, 40 + h, iobdm, W)
-                    kt = self._wkeys_t(k_step, 42 + h, iobdm, W)
-                    ks = self._wkeys_t(k_step, 44 + h, iobdm, W)
+                    kh = self._mk_t(k_step, 40 + h, iobdm)
+                    kt = self._mk_t(k_step, 42 + h, iobdm)
+                    ks = self._mk_t(k_step, 44 + h, iobdm)
                     paths, xend, acc_h = self.v_head_half[h](
                         kh, paths, xend, iworm, h, act, self.Lstag)
                     paths, xend, acc_t = self.v_tail_half[h](
@@ -275,9 +261,9 @@ class Sweeper:
                     ctr = ctr.at[_CIDX["acc_bd_half"]].add(
                         _i32sum(acc_s))
                 if cfg.swapping:
-                    ksw = self._wkeys_t(k_step, 50, iobdm, W)
                     paths, xend, acc_sw, partner = self.v_swap(
-                        ksw, paths, xend, iworm, act, self.Lstag)
+                        self._mk_t(k_step, 50, iobdm), paths, xend, iworm,
+                        act, self.Lstag)
                     ctr = ctr.at[_CIDX["try_swap"]].add(nact)
                     ctr = ctr.at[_CIDX["acc_swap"]].add(
                         _i32sum(acc_sw))
