@@ -301,9 +301,10 @@ def delta_action_level(system: System, tables: Tables, R, xnew, xold, ip,
     if odd_beads:
         dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip,
                               with_force=True)
-        return jnp.sum((4.0 * dt / 3.0) * dpot + (2.0 * dt ** 3 / 9.0) * df2)
+        return jnp.sum((4.0 * dt / 3.0) * dpot
+                       + (2.0 * dt ** 3 / 9.0) * df2, axis=-1)
     dpot, _ = delta_pot(system, tables, R, xnew, xold, ip, with_force=False)
-    return jnp.sum((2.0 * dt / 3.0) * dpot)
+    return jnp.sum((2.0 * dt / 3.0) * dpot, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,33 @@
+"""Reference checkpoint.dat round-trip (utils/compat.py)."""
+
+import numpy as np
+
+from pathintegralgroundstate_tpu.config import SimConfig
+from pathintegralgroundstate_tpu.state import init_state
+from pathintegralgroundstate_tpu.system import make_system
+from pathintegralgroundstate_tpu.utils.compat import (
+    read_reference_checkpoint, reference_checkpoint_to_state,
+    write_reference_checkpoint)
+
+
+def test_reference_checkpoint_roundtrip(tmp_path):
+    cfg = SimConfig(dim=3, Np=4, Nb=2, density=0.365, n_walkers=3,
+                    dtype="float64", potential="aziz2")
+    system = make_system(cfg)
+    state = init_state(system)
+    p = str(tmp_path / "checkpoint.dat")
+    write_reference_checkpoint(system, state, p, walker=1)
+
+    raw = read_reference_checkpoint(p)
+    assert raw["trap"] is False
+    assert raw["isopen"] is False
+    assert raw["body"].shape == (cfg.Np * cfg.M, cfg.dim)
+
+    state2 = reference_checkpoint_to_state(system, p)
+    assert state2.paths.shape == (3, cfg.M, cfg.Np, cfg.dim)
+    np.testing.assert_allclose(np.asarray(state2.paths[0]),
+                               np.asarray(state.paths[1]), rtol=1e-15)
+    np.testing.assert_allclose(np.asarray(state2.paths[2]),
+                               np.asarray(state.paths[1]), rtol=1e-15)
+    np.testing.assert_allclose(np.asarray(state2.xend[0]),
+                               np.asarray(state.xend[1]), rtol=1e-15)

@@ -87,3 +87,27 @@ def test_open_walkers_have_distinct_ends():
     if closed.any():
         # closed walkers keep xend1 == xend2
         np.testing.assert_allclose(xend[closed, 0], xend[closed, 1])
+
+
+def test_bisection_he4_acceptance():
+    """Regression: diagonal bisection moves must actually accept in the
+    dense He-4 regime (a walker-summed Delta-S once drove this to 0%)."""
+    cfg = SimConfig(dim=3, Np=8, density=0.365, dt=5e-3, Nb=4,
+                    sampling="bis", Nlev=2, Lstag=4, Nstag=1, CMFreq=1,
+                    delta_cm=0.12, Rm=1.2, swapping=False, CWorm=0.0,
+                    n_walkers=32, dtype="float64", potential="aziz2", seed=4)
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    state = init_state(system)
+    import jax
+    blk = jax.jit(lambda st: run_block(system, tables, sweeper, st, 10))
+    state, stats = blk(state)
+    state, stats = blk(state)
+    c = np.asarray(stats.counters)
+    tries = c[_CIDX["try_stag"]]
+    assert tries > 0
+    for mv in ("acc_bd", "acc_head", "acc_tail"):
+        rate = c[_CIDX[mv]] / tries
+        assert rate > 0.05, f"{mv} acceptance collapsed: {rate:.4f}"
+    assert c[_CIDX["acc_cm"]] / c[_CIDX["try_cm"]] > 0.05
