@@ -104,3 +104,28 @@ def test_reproducible():
     s2, r2 = blk(init_state(system))
     np.testing.assert_array_equal(np.asarray(s1.paths), np.asarray(s2.paths))
     assert float(r1.sumE) == float(r2.sumE)
+
+
+def test_free_bosons_pbc_energy():
+    """Free particles in a PBC box: psi_T = 1 (vanishing Jastrow) is the
+    exact ground state, so the mixed estimator is exactly 0 and the
+    thermodynamic estimator must agree statistically — an end-to-end check
+    of the spring terms, Chin weights, and staging moves under PBC.
+
+    Box chosen so the single-image approximation (shared with the
+    reference's staging, vpi_mod.f90:517-529) is negligible:
+    window-end displacement sigma = sqrt(Lstag*dt) << L/2."""
+    cfg = SimConfig(dim=3, Np=4, density=0.02, potential="none", Rm=1e-3,
+                    sampling="sta", Lstag=8, Nstag=2, Nb=8, dt=0.02,
+                    CMFreq=1, delta_cm=0.3, n_walkers=64, Nstep=20,
+                    dtype="float64", CWorm=0.0, seed=21)
+    system, state, results = _run_blocks(cfg, 4)
+    stats = results[-1]
+    nd = float(stats.n_diag)
+    E = float(stats.sumE) / nd
+    assert abs(E) < 1e-8  # exact trial WF
+    Et = float(stats.sumEt) / nd / cfg.Np
+    vart = np.sqrt(max(float(stats.sumEt2) / nd - (Et * cfg.Np) ** 2, 0.0)
+                   / nd) / cfg.Np
+    # Et ~ 0 within 5 sigma + O(dt^2/volume) margin
+    assert abs(Et) < 5 * vart + 0.05, (Et, vart)
