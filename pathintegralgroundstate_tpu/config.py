@@ -77,6 +77,8 @@ class SimConfig:
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner axis
     jastrow: str = "mcmillan"    # trial-wavefunction family
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
+    bis_end_random_depth: bool = False  # reference-style random end-bisection
+                                        # depths (compiles one body per depth)
 
     def __post_init__(self):
         if self.sampling not in ("sta", "bis"):

@@ -143,14 +143,22 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
 
 def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
                    level: int, tail: bool):
-    """Random-depth end bisection: Nlev ~ U{2..level} drawn once per move
-    site (shared over walkers), dispatched to static-depth bodies."""
-    k_n, k_body = jax.random.split(key)
-    if level <= 2:
-        return _end_bisection_fixed_depth(system, tables, k_body, paths, ip,
-                                          active, max(level, 2), tail)
-    nlev = jax.random.randint(k_n, (), 0, level - 1)  # 0 .. level-2
+    """End-segment bisection.
 
+    The reference draws a random depth Nlev ~ U{2..level} per move
+    (vpi_mod.f90:1023).  The depth distribution is a free proposal
+    parameter (any state-independent choice preserves detailed balance):
+    the default here regrows the full 2**level window every time — one
+    static body, fastest compile and widest window.  Set
+    cfg.bis_end_random_depth for the reference's randomized depths,
+    dispatched through lax.switch over static bodies (compiles ~level-1
+    copies of the move).
+    """
+    if not system.cfg.bis_end_random_depth or level <= 2:
+        return _end_bisection_fixed_depth(system, tables, key, paths, ip,
+                                          active, max(level, 2), tail)
+    k_n, k_body = jax.random.split(key)
+    nlev = jax.random.randint(k_n, (), 0, level - 1)  # 0 .. level-2
     branches = [
         (lambda args, d=d: _end_bisection_fixed_depth(
             system, tables, args[0], args[1], args[2], args[3], d, tail))

@@ -129,3 +129,20 @@ def test_free_bosons_pbc_energy():
                    / nd) / cfg.Np
     # Et ~ 0 within 5 sigma + O(dt^2/volume) margin
     assert abs(Et) < 5 * vart + 0.05, (Et, vart)
+
+
+def test_dipolar_2d_runs():
+    """2-D dipolar Bose gas (BASELINE.json stretch config): the sampler and
+    estimators must run and produce finite physical output in 2D."""
+    cfg = SimConfig(dim=2, Np=8, density=0.1, potential="dipolar", Rm=1.0,
+                    sampling="bis", Nlev=2, Lstag=4, Nstag=1, Nb=4, dt=0.01,
+                    CMFreq=1, delta_cm=0.2, n_walkers=16, Nstep=5,
+                    dtype="float64", CWorm=0.0, seed=2)
+    system, state, results = _run_blocks(cfg, 2)
+    stats = results[-1]
+    nd = float(stats.n_diag)
+    E = float(stats.sumE) / nd / cfg.Np
+    Et = float(stats.sumEt) / nd / cfg.Np
+    assert np.isfinite(E) and np.isfinite(Et)
+    assert stats.gr.sum() > 0
+    assert np.isfinite(np.asarray(stats.sk)).all()
