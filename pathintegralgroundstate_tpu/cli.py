@@ -15,18 +15,24 @@ from .config import SimConfig, load_namelist_config
 from .driver import Driver
 
 
-def _parse_override(kv: str):
-    key, val = kv.split("=", 1)
+def _parse_scalar(val: str):
     for cast in (int, float):
         try:
-            return key, cast(val)
+            return cast(val)
         except ValueError:
             pass
     if val.lower() in ("true", "t"):
-        return key, True
+        return True
     if val.lower() in ("false", "f"):
-        return key, False
-    return key, val
+        return False
+    return val
+
+
+def _parse_override(kv: str):
+    key, val = kv.split("=", 1)
+    if "," in val:  # tuple values, e.g. --set a_ho=1.0,1.0,2.0
+        return key, tuple(_parse_scalar(v) for v in val.split(",") if v)
+    return key, _parse_scalar(val)
 
 
 def main(argv=None):
@@ -39,6 +45,8 @@ def main(argv=None):
                     help="config override (repeatable), e.g. --set n_walkers=1024")
     ap.add_argument("--blocks", type=int, default=None,
                     help="override number of blocks")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one block into DIR")
     args = ap.parse_args(argv)
 
     overrides = dict(_parse_override(kv) for kv in args.set)
@@ -69,7 +77,19 @@ def main(argv=None):
     drv = Driver(cfg, out_dir=args.out_dir)
     if not cfg.trap:
         print(f"  > Size of the box     : {drv.system.geo.Lbox}")
-    drv.run(args.blocks)
+    if args.profile:
+        # tracing/profiling subsystem (SURVEY.md §5): one warm block under
+        # jax.profiler; inspect with tensorboard or xprof tooling
+        import jax
+        drv.run(1)  # compile + warm
+        with jax.profiler.trace(args.profile):
+            drv.run(1)
+        print(f"# profiler trace written to {args.profile}")
+        remaining = (args.blocks - 2) if args.blocks else None
+        if remaining and remaining > 0:
+            drv.run(remaining)
+    else:
+        drv.run(args.blocks)
     return 0
 
 

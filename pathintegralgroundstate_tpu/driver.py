@@ -108,7 +108,7 @@ class Driver:
         e_path = os.path.join(self.out_dir, "e_vpi.out")
         et_path = os.path.join(self.out_dir, "et_vpi.out")
         jl_path = os.path.join(self.out_dir, "metrics.jsonl")
-        mode = "a" if cfg.resume else "w"
+        mode = "a" if (cfg.resume or self.acc["iblock"] > 0) else "w"
         with open(e_path, mode) as fe, open(et_path, mode) as fet, \
                 open(jl_path, mode) as fjl:
             for _ in range(nblocks):
@@ -121,7 +121,8 @@ class Driver:
         acc = self.acc
         t0 = time.time()
         self.state, stats = self._block_fn(self.state)
-        jax.block_until_ready(stats.counters)
+        # one bundled device->host transfer (tunnel readbacks are ~40 ms each)
+        stats = jax.device_get(stats)
         dt_block = time.time() - t0
         acc["iblock"] += 1
         ib = acc["iblock"]
