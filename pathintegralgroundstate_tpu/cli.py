@@ -47,6 +47,8 @@ def main(argv=None):
                     help="override number of blocks")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one block into DIR")
+    ap.add_argument("--burnin", type=int, default=0,
+                    help="equilibration blocks discarded from global averages")
     args = ap.parse_args(argv)
 
     overrides = dict(_parse_override(kv) for kv in args.set)
@@ -77,6 +79,8 @@ def main(argv=None):
     drv = Driver(cfg, out_dir=args.out_dir)
     if not cfg.trap:
         print(f"  > Size of the box     : {drv.system.geo.Lbox}")
+    if args.burnin:
+        drv.run_burnin(args.burnin)
     if args.profile:
         # tracing/profiling subsystem (SURVEY.md §5): one warm block under
         # jax.profiler; inspect with tensorboard or xprof tooling

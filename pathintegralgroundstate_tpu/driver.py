@@ -102,6 +102,19 @@ class Driver:
 
     # ------------------------------------------------------------------
 
+    def run_burnin(self, nblocks: int):
+        """Equilibration: advance the ensemble without touching the global
+        accumulators (the reference has no burn-in support; users discard
+        early blocks by hand)."""
+        for i in range(nblocks):
+            t0 = time.time()
+            self.state, _ = self._block_fn(self.state)
+            jax.block_until_ready(self.state.paths)
+            if self.verbose:
+                print(f"# burn-in block {i + 1}/{nblocks} "
+                      f"({time.time() - t0:.1f}s)")
+        self.save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"))
+
     def run(self, nblocks: int | None = None):
         cfg = self.cfg
         nblocks = nblocks if nblocks is not None else cfg.Nblock
