@@ -116,6 +116,10 @@ class Driver:
         self.save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"))
 
     def run(self, nblocks: int | None = None):
+        """Block loop with block pipelining: block k+1 is dispatched to the
+        device before block k's statistics are fetched, so estimator
+        reduction + host I/O overlap the next sweep (the reference does them
+        serially, vpi.f90:477-545; SURVEY.md §2.3 'PP' analogue)."""
         cfg = self.cfg
         nblocks = nblocks if nblocks is not None else cfg.Nblock
         e_path = os.path.join(self.out_dir, "e_vpi.out")
@@ -124,18 +128,23 @@ class Driver:
         mode = "a" if (cfg.resume or self.acc["iblock"] > 0) else "w"
         with open(e_path, mode) as fe, open(et_path, mode) as fet, \
                 open(jl_path, mode) as fjl:
-            for _ in range(nblocks):
-                self._run_one_block(fe, fet, fjl)
+            pending = None  # (stats_device, t_dispatch, state_after_block)
+            for k in range(nblocks):
+                t0 = time.time()
+                self.state, stats_dev = self._block_fn(self.state)
+                if pending is not None:
+                    self._consume_block(*pending, fe, fet, fjl)
+                pending = (stats_dev, t0, self.state)
+            if pending is not None:
+                self._consume_block(*pending, fe, fet, fjl)
         self.finalize()
         return self.acc
 
-    def _run_one_block(self, fe, fet, fjl):
+    def _consume_block(self, stats_dev, t0, state_snapshot, fe, fet, fjl):
         cfg = self.cfg
         acc = self.acc
-        t0 = time.time()
-        self.state, stats = self._block_fn(self.state)
         # one bundled device->host transfer (tunnel readbacks are ~40 ms each)
-        stats = jax.device_get(stats)
+        stats = jax.device_get(stats_dev)
         dt_block = time.time() - t0
         acc["iblock"] += 1
         ib = acc["iblock"]
@@ -201,7 +210,10 @@ class Driver:
         if self.verbose:
             self._print_block(ib, blk, c, nd, nsteps_tot, dt_block)
 
-        self.save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"))
+        # checkpoint the state that matches the accumulators (already
+        # materialized by now — does not stall the pipelined next block)
+        self.save_checkpoint(os.path.join(self.out_dir, "checkpoint.npz"),
+                             state=state_snapshot)
 
     def _print_block(self, ib, blk, c, nd, nsteps_tot, dt_block):
         cfg = self.cfg
@@ -280,11 +292,11 @@ class Driver:
 
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, state=None):
         """Full-state checkpoint (CheckPoint, vpi_mod.f90:263-309) — but as a
         single binary archive holding the walker ensemble, RNG *key* (not
         engine state; SURVEY.md §5), and global accumulators."""
-        st = self.state
+        st = self.state if state is None else state
         arrs = dict(paths=np.asarray(st.paths), xend=np.asarray(st.xend),
                     isopen=np.asarray(st.isopen), iworm=np.asarray(st.iworm),
                     key=np.asarray(jax.random.key_data(st.key)),
