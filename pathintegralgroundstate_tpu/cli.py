@@ -76,7 +76,19 @@ def main(argv=None):
     print(f"  > Number of blocks    : {cfg.Nblock}")
     print(f"  > MC steps per block  : {cfg.Nstep}")
 
-    drv = Driver(cfg, out_dir=args.out_dir)
+    init_positions = None
+    if cfg.crystal:
+        # reference crystal start: config_ini.in in the input file's dir
+        from .config import read_crystal_file
+        import os as _os
+        base = _os.path.dirname(_os.path.abspath(args.input)) if args.input else "."
+        cpath = _os.path.join(base, cfg.crystal_positions_file)
+        Np, Lbox, density, R = read_crystal_file(cpath)
+        cfg = cfg.replace(Np=Np, density=density, crystal_Lbox=Lbox)
+        init_positions = R
+        print(f"# crystal start from {cpath}: Np={Np}, Lbox={Lbox}")
+
+    drv = Driver(cfg, out_dir=args.out_dir, init_positions=init_positions)
     if not cfg.trap:
         print(f"  > Size of the box     : {drv.system.geo.Lbox}")
     if args.burnin:

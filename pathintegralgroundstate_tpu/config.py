@@ -209,6 +209,20 @@ def parse_namelists(text: str) -> dict:
     return groups
 
 
+def read_crystal_file(path: str):
+    """Read the reference's `config_ini.in` crystal-start file
+    (vpi.f90:101-107 + vpi_mod.f90:218-228): Np / Lbox / density header,
+    then Np position rows.  Returns (Np, Lbox tuple, density, R[Np, dim])."""
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    Np = int(float(lines[0].split()[0]))
+    Lbox = tuple(float(x) for x in lines[1].split())
+    density = float(lines[2].split()[0])
+    import numpy as _np
+    R = _np.array([[float(x) for x in ln.split()] for ln in lines[3:3 + Np]])
+    return Np, Lbox, density, R
+
+
 def load_namelist_config(path_or_text: str, is_text: bool = False, **overrides) -> SimConfig:
     """Build a SimConfig from a reference-format namelist file (e.g. vpi.in).
 

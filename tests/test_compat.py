@@ -31,3 +31,13 @@ def test_reference_checkpoint_roundtrip(tmp_path):
                                np.asarray(state.paths[1]), rtol=1e-15)
     np.testing.assert_allclose(np.asarray(state2.xend[0]),
                                np.asarray(state.xend[1]), rtol=1e-15)
+
+
+def test_crystal_file_roundtrip(tmp_path):
+    from pathintegralgroundstate_tpu.config import read_crystal_file
+    p = tmp_path / "config_ini.in"
+    p.write_text(" 4\n 5.0 5.0 5.0\n 0.365\n"
+                 " 0.0 0.0 0.0\n 2.5 0.0 0.0\n 0.0 2.5 0.0\n 0.0 0.0 2.5\n")
+    Np, Lbox, density, R = read_crystal_file(str(p))
+    assert Np == 4 and Lbox == (5.0, 5.0, 5.0) and density == 0.365
+    assert R.shape == (4, 3) and R[1, 0] == 2.5
