@@ -77,6 +77,10 @@ class SimConfig:
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner axis
     jastrow: str = "mcmillan"    # trial-wavefunction family
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
+    shared_windows: bool = True  # one window offset per move site shared by
+                                 # all walkers (exact kernel mixture, ~10x
+                                 # faster; see ops.moves._window_start).
+                                 # False: per-walker offsets.
     bis_end_random_depth: bool = False  # reference-style random end-bisection
                                         # depths (compiles one body per depth)
 

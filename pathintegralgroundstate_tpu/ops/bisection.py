@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..system import System, Tables
-from .moves import _mi, _wrap_pos, get_chain, metropolis, set_chain, \
-    _slice_beads, _update_beads
+from .moves import _mi, _window_start, _wrap_pos, get_chain, metropolis, \
+    set_chain, _slice_beads, _update_beads
 from .pairwise import delta_action, delta_action_level
 
 
@@ -75,12 +75,11 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     W = paths.shape[0]
     seg_len = 2 ** level
     keys = jax.random.split(key, level + 2)
-    ii = 2 * jax.random.randint(keys[0], (W,), 0, (M - 1 - seg_len) // 2 + 1,
-                                dtype=jnp.int32)
+    ii = _window_start(system, keys[0], W, (M - 1 - seg_len) // 2 + 1)
     chain = get_chain(paths, ip)
     seg0 = _slice_beads(chain, ii, seg_len + 1)
     R_seg = _slice_beads(paths, ii, seg_len + 1)
-    ib_seg = ii[:, None] + jnp.arange(seg_len + 1)
+    ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(seg_len + 1)
 
     seg = seg0
     alive = active

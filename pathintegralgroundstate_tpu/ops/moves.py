@@ -85,17 +85,47 @@ def set_chain(paths, ip, chain):
 
 
 def _slice_beads(arr, ii, L: int):
-    """Per-walker window of L beads starting at ii[W] along axis 1."""
-    def one(a, i):
-        return lax.dynamic_slice_in_dim(a, i, L, axis=0)
-    return jax.vmap(one)(arr, ii)
+    """Window of L beads starting at ii along axis 1 (walker axis 0).
+
+    ii scalar (shared window, the default — see _window_start): a plain
+    dynamic slice, the cheapest possible form.
+
+    ii [W] (per-walker windows): one batched gather — NOT
+    vmap(dynamic_slice): per-element start indices defeat dynamic-slice
+    batching and XLA lowers that to a serialized W-iteration while loop
+    (measured ~2.2 ms/move at W=512 vs ~10 us for the gather form)."""
+    if jnp.ndim(ii) == 0:
+        return lax.dynamic_slice_in_dim(arr, ii, L, axis=1)
+    idx = ii[:, None] + jnp.arange(L)                  # [W, L]
+    idx = idx.reshape(idx.shape + (1,) * (arr.ndim - 2))
+    return jnp.take_along_axis(arr, idx, axis=1)
 
 
 def _update_beads(chain, ii, seg):
-    """Per-walker dynamic update of chain[W, M, D] at beads ii..ii+L-1."""
-    def one(c, i, s):
-        return lax.dynamic_update_slice_in_dim(c, s, i, axis=0)
-    return jax.vmap(one)(chain, ii, seg)
+    """Write the bead window back (inverse of _slice_beads)."""
+    if jnp.ndim(ii) == 0:
+        return lax.dynamic_update_slice_in_dim(chain, seg, ii, axis=1)
+    W, L = seg.shape[0], seg.shape[1]
+    idx = ii[:, None] + jnp.arange(L)                  # [W, L]
+    return chain.at[jnp.arange(W)[:, None], idx].set(seg)
+
+
+def _window_start(system: System, key, W: int, n_opts: int):
+    """Random even-aligned window offset: 2 * U{0 .. n_opts-1}.
+
+    Default (cfg.shared_windows): ONE offset per move site, shared by every
+    walker.  The window position is a state-independent proposal parameter,
+    so each walker's Markov kernel is the exact reference mixture
+    (vpi_mod.f90:498 draws it per move for its single walker) — sharing only
+    correlates WHICH window different walkers touch in the same iteration,
+    not their proposals or accepts.  Perf: a scalar offset turns the window
+    slice/write-back into dynamic slices; per-walker offsets force gathers
+    and full-layout copies of paths every iteration (~10x slower at W=512).
+
+    cfg.shared_windows=False draws per-walker offsets (reference-exact
+    walker independence, for statistics studies)."""
+    shape = () if system.cfg.shared_windows else (W,)
+    return 2 * jax.random.randint(key, shape, 0, n_opts, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +184,7 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
     else:
         dS_first = first_w * jnp.sum(delta_action(
             system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
-            ip, ib_seg[:, :1]), axis=-1)
+            ip, ib_seg[..., :1]), axis=-1)
 
     # staging reconstruction of beads 1..Ls-1 (scan over the static buffer)
     xolds = seg[:, 1:Lb]  # [W, Lb-1, D]
@@ -178,7 +208,7 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
 
     rest_parity = None if start_parity is None else (start_parity + 1) % 2
     dS_rest = delta_action_sum(
-        system, tables, R_seg[:, 1:Lb], xnews, xolds, ip, ib_seg[:, 1:Lb],
+        system, tables, R_seg[:, 1:Lb], xnews, xolds, ip, ib_seg[..., 1:Lb],
         start_parity=rest_parity)
 
     seg_new = seg.at[:, 0].set(xnew0).at[:, 1:Lb].set(xnews)
@@ -238,22 +268,17 @@ def translate_half_chain(system: System, tables: Tables, key, paths, xend,
 # Staging moves (Staging, vpi_mod.f90:480-578)
 # ---------------------------------------------------------------------------
 
-def _even_randint(key, W, n_opts):
-    """Even offsets: 2 * U{0 .. n_opts-1} (even-aligned windows)."""
-    return 2 * jax.random.randint(key, (W,), 0, n_opts, dtype=jnp.int32)
-
-
 def staging_move(system: System, tables: Tables, key, paths, ip, active,
                  L: int):
     """Interior staging over a random even-aligned window of L links."""
     M = system.M
     W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
-    ii = _even_randint(k_ii, W, (M - 1 - L) // 2 + 1)
+    ii = _window_start(system, k_ii, W, (M - 1 - L) // 2 + 1)
     chain = get_chain(paths, ip)
     seg = _slice_beads(chain, ii, L + 1)
     R_seg = _slice_beads(paths, ii, L + 1)
-    ib_seg = ii[:, None] + jnp.arange(L + 1)
+    ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
@@ -275,10 +300,10 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     base = 0 if half == 1 else Nb
     # even-aligned start within the half; base=Nb keeps alignment iff Nb even
     par = base % 2
-    ii = base + _even_randint(k_ii, W, (Nb - L) // 2 + 1)
+    ii = base + _window_start(system, k_ii, W, (Nb - L) // 2 + 1)
     seg = _slice_beads(chain, ii, L + 1)
     R_seg = _slice_beads(paths, ii, L + 1)
-    ib_seg = ii[:, None] + jnp.arange(L + 1)
+    ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
