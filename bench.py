@@ -14,6 +14,10 @@ import time
 
 import jax
 
+from pathintegralgroundstate_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 REF_BEAD_UPDATES_PER_S = 2.0e6  # serial-CPU cost-model estimate (BASELINE.md)
 
 

@@ -13,6 +13,9 @@ import sys
 
 from .config import SimConfig, load_namelist_config
 from .driver import Driver
+from .utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def _parse_scalar(val: str):
