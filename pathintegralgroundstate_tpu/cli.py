@@ -15,8 +15,6 @@ from .config import SimConfig, load_namelist_config
 from .driver import Driver
 from .utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
-
 
 def _parse_scalar(val: str):
     for cast in (int, float):
@@ -53,6 +51,7 @@ def main(argv=None):
     ap.add_argument("--burnin", type=int, default=0,
                     help="equilibration blocks discarded from global averages")
     args = ap.parse_args(argv)
+    enable_compilation_cache()
 
     overrides = dict(_parse_override(kv) for kv in args.set)
     if args.input:

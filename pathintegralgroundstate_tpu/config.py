@@ -75,6 +75,11 @@ class SimConfig:
     use_pallas: bool = False     # fused Pallas pair kernels on TPU
     mesh_walkers: int = 1        # data-parallel shards of the walker axis
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner axis
+    distributed: bool = False    # call jax.distributed.initialize() (multi-host)
+    debug: bool = False          # debug mode: jax_debug_nans, per-step
+                                 # dispatch (NaNs localize to one MC step),
+                                 # acceptance-collapse alarm; optionally
+                                 # PIGS_DISABLE_JIT=1 for eager execution
     jastrow: str = "mcmillan"    # trial-wavefunction family
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
     shared_windows: bool = True  # one window offset per move site shared by

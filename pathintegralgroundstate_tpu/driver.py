@@ -50,6 +50,18 @@ class Driver:
                  init_positions=None, verbose: bool = True):
         if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        if cfg.distributed:
+            # multi-host entry point (SURVEY.md §2.3 'distributed comm
+            # backend'): coordinator/process ids come from the environment
+            # (TPU pod metadata or JAX_COORDINATOR_ADDRESS & co.)
+            jax.distributed.initialize()
+        if cfg.debug:
+            # debug subsystem (SURVEY.md §5 'sanitizers'): raise on the first
+            # NaN/Inf produced on device; PIGS_DISABLE_JIT=1 additionally
+            # runs op-by-op so the traceback lands on the offending line
+            jax.config.update("jax_debug_nans", True)
+            if os.environ.get("PIGS_DISABLE_JIT", "") not in ("", "0"):
+                jax.config.update("jax_disable_jit", True)
         self.cfg = cfg
         self.out_dir = out_dir
         self.verbose = verbose
@@ -59,16 +71,51 @@ class Driver:
         self.sweeper = Sweeper(self.system, self.tables)
         self._write_tables()
 
+        # device mesh: walker axis data-parallel over 'dp', partner axis
+        # over 'tp' (the reference is one process / one walker, vpi.f90:134;
+        # SURVEY.md §2.3 DP/TP rows)
+        self.mesh = None
+        n_dp, n_tp = cfg.mesh_walkers, cfg.mesh_pairs
+        if n_dp * n_tp > 1:
+            ndev = len(jax.devices())
+            if n_dp * n_tp > ndev:
+                raise ValueError(
+                    f"mesh_walkers*mesh_pairs={n_dp * n_tp} exceeds the "
+                    f"{ndev} visible devices")
+            if cfg.n_walkers % n_dp:
+                raise ValueError(
+                    f"n_walkers={cfg.n_walkers} must divide mesh_walkers={n_dp}")
+            from .parallel.mesh import make_mesh, sharded_block_fn, shard_state
+            self.mesh = make_mesh(n_dp=n_dp, n_tp=n_tp)
+            self._shard = lambda st: shard_state(st, self.mesh)
+            self._block_fn = sharded_block_fn(
+                self.system, self.tables, self.sweeper, cfg.Nstep, self.mesh)
+        elif cfg.debug:
+            # per-step dispatch: a NaN aborts on (and identifies) the exact
+            # MC step instead of somewhere inside the fused block scan
+            self._shard = lambda st: st
+            step_fn = jax.jit(self.sweeper.step)
+
+            def _debug_block(st):
+                acc = zero_stats(self.system)
+                for _ in range(cfg.Nstep):
+                    st, acc = step_fn(st, acc)
+                return st, acc
+
+            self._block_fn = _debug_block
+        else:
+            self._shard = lambda st: st
+            self._block_fn = jax.jit(
+                lambda st: run_block(self.system, self.tables, self.sweeper,
+                                     st, cfg.Nstep))
+
         ckpt = os.path.join(out_dir, "checkpoint.npz")
         if cfg.resume and os.path.exists(ckpt):
             self.state, self.acc = self.load_checkpoint(ckpt)
         else:
             self.state = init_state(self.system, init_positions=init_positions)
             self.acc = self._zero_global()
-
-        self._block_fn = jax.jit(
-            lambda st: run_block(self.system, self.tables, self.sweeper, st,
-                                 cfg.Nstep))
+        self.state = self._shard(self.state)
 
     # ------------------------------------------------------------------
 
@@ -209,6 +256,20 @@ class Driver:
 
         if self.verbose:
             self._print_block(ib, blk, c, nd, nsteps_tot, dt_block)
+
+        # acceptance-collapse alarm (debug subsystem, SURVEY.md §5): a dead
+        # move class signals a broken action/step size (cf. the r1
+        # bisection-acceptance regression)
+        for trial, accepted, label in (
+                ("try_cm", "acc_cm", "CM"),
+                ("try_stag", "acc_bd", "staging/bisection"),
+                ("try_stag", "acc_head", "head"),
+                ("try_stag", "acc_tail", "tail")):
+            if c[trial] >= 1000 and c[accepted] < 0.005 * c[trial]:
+                print(f"# WARNING: {label} acceptance collapsed "
+                      f"({c[accepted]}/{c[trial]} = "
+                      f"{100.0 * c[accepted] / c[trial]:.2f}%) — "
+                      f"check dt/delta_cm/window sizes")
 
         # checkpoint the state that matches the accumulators (already
         # materialized by now — does not stall the pipelined next block)

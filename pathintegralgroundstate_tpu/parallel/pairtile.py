@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import jastrow as jas
 from ..system import System, Tables
@@ -63,7 +63,7 @@ def pair_pot_tp(system: System, tables: Tables, mesh: Mesh):
         return pot, f2
 
     smapped = shard_map(shard_fn, mesh=mesh, in_specs=P(),
-                        out_specs=(P(), P()), check_rep=False)
+                        out_specs=(P(), P()), check_vma=False)
 
     def fn(R):
         # vmap over any leading batch axes (beads, walkers)

@@ -286,50 +286,55 @@ class Sweeper:
                 (paths, xend, in_cycle, iperm, ctr, nrho))
 
         # ---- 5. estimators for diagonal walkers (vpi.f90:441-469) ----
-        if cfg.measure_every <= 0:  # structural skip (perf bisection / burn-in)
-            state = state._replace(paths=paths, xend=xend, isopen=isopen,
-                                   iworm=iworm, in_cycle=in_cycle, iperm=iperm)
-            return state, stats._replace(nrho=nrho, perm_hist=perm_hist,
-                                         counters=ctr)
-        isdiag = ~isopen
-        fdiag = isdiag.astype(paths.dtype)
-        nd = jnp.sum(fdiag)
-
-        E1, _, _ = self.v_local_e(paths[:, 0])
-        E2, _, _ = self.v_local_e(paths[:, -1])
-        E = 0.5 * (E1 + E2)
-        Et, Kt, Ep = self.v_therm_e(paths)
-        Kin = E - Ep
-
-        def msum(x):
-            return jnp.sum(x * fdiag)
-
-        new = StepStats(
-            n_diag=stats.n_diag + nd,
-            sumE=stats.sumE + msum(E), sumK=stats.sumK + msum(Kin),
-            sumV=stats.sumV + msum(Ep),
-            sumE2=stats.sumE2 + msum(E * E), sumK2=stats.sumK2 + msum(Kin * Kin),
-            sumV2=stats.sumV2 + msum(Ep * Ep),
-            sumEt=stats.sumEt + msum(Et), sumKt=stats.sumKt + msum(Kt),
-            sumVt=stats.sumVt + msum(Ep),
-            sumEt2=stats.sumEt2 + msum(Et * Et),
-            sumKt2=stats.sumKt2 + msum(Kt * Kt),
-            sumVt2=stats.sumVt2 + msum(Ep * Ep),
-            ngr=stats.ngr + nd,
-            gr=stats.gr, sk=stats.sk, nrho=nrho, perm_hist=perm_hist,
-            counters=ctr,
-        )
-        if not cfg.trap:
-            gr_w = self.v_gr(paths[:, cfg.Nb])          # [W, Nbin]
-            sk_w = self.v_sk(paths[:, cfg.Nb])          # [W, dim, Nk]
-            new = new._replace(
-                gr=new.gr + jnp.sum(gr_w * fdiag[:, None], axis=0),
-                sk=new.sk + jnp.sum(sk_w * fdiag[:, None, None], axis=0),
-            )
-
         state = state._replace(paths=paths, xend=xend, isopen=isopen,
                                iworm=iworm, in_cycle=in_cycle, iperm=iperm)
-        return state, new
+        base = stats._replace(nrho=nrho, perm_hist=perm_hist, counters=ctr)
+        if cfg.measure_every <= 0:  # structural skip (perf bisection / burn-in)
+            return state, base
+
+        def measure(st: StepStats) -> StepStats:
+            isdiag = ~isopen
+            fdiag = isdiag.astype(paths.dtype)
+            nd = jnp.sum(fdiag)
+
+            E1, _, _ = self.v_local_e(paths[:, 0])
+            E2, _, _ = self.v_local_e(paths[:, -1])
+            E = 0.5 * (E1 + E2)
+            Et, Kt, Ep = self.v_therm_e(paths)
+            Kin = E - Ep
+
+            def msum(x):
+                return jnp.sum(x * fdiag)
+
+            new = st._replace(
+                n_diag=st.n_diag + nd,
+                sumE=st.sumE + msum(E), sumK=st.sumK + msum(Kin),
+                sumV=st.sumV + msum(Ep),
+                sumE2=st.sumE2 + msum(E * E),
+                sumK2=st.sumK2 + msum(Kin * Kin),
+                sumV2=st.sumV2 + msum(Ep * Ep),
+                sumEt=st.sumEt + msum(Et), sumKt=st.sumKt + msum(Kt),
+                sumVt=st.sumVt + msum(Ep),
+                sumEt2=st.sumEt2 + msum(Et * Et),
+                sumKt2=st.sumKt2 + msum(Kt * Kt),
+                sumVt2=st.sumVt2 + msum(Ep * Ep),
+                ngr=st.ngr + nd,
+            )
+            if not cfg.trap:
+                gr_w = self.v_gr(paths[:, cfg.Nb])          # [W, Nbin]
+                sk_w = self.v_sk(paths[:, cfg.Nb])          # [W, dim, Nk]
+                new = new._replace(
+                    gr=new.gr + jnp.sum(gr_w * fdiag[:, None], axis=0),
+                    sk=new.sk + jnp.sum(sk_w * fdiag[:, None, None], axis=0),
+                )
+            return new
+
+        if cfg.measure_every == 1:
+            return state, measure(base)
+        # stride > 1: measure only every measure_every-th step (traced cond
+        # so the estimator sweeps are skipped on the device, not just masked)
+        do_meas = (state.step % cfg.measure_every) == 0
+        return state, lax.cond(do_meas, measure, lambda st: st, base)
 
 
 def run_block(system: System, tables: Tables, sweeper: Sweeper,

@@ -12,7 +12,7 @@ Implementations use the classic Abramowitz & Stegun 9.4/9.8 rational
 approximations (|x|<=threshold) matched to asymptotic forms beyond — the
 same public-domain scheme the reference's Numerical-Recipes-style port uses,
 re-derived here as branch-free jnp expressions (validated against scipy in
-tests/test_special.py).
+tests/test_core_math.py).
 """
 
 from __future__ import annotations
