@@ -81,6 +81,10 @@ class SimConfig:
                                  # acceptance-collapse alarm; optionally
                                  # PIGS_DISABLE_JIT=1 for eager execution
     jastrow: str = "mcmillan"    # trial-wavefunction family
+    regrow: str = "bridge"       # staging reconstruction: "bridge" (one
+                                 # Brownian-bridge matmul, TPU fast path) or
+                                 # "scan" (the reference's sequential
+                                 # recursion; same distribution, for parity)
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
     shared_windows: bool = True  # one window offset per move site shared by
                                  # all walkers (exact kernel mixture, ~10x

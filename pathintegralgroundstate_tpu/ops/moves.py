@@ -31,8 +31,11 @@ coming from array-shaped draws — reproducible and order-independent.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..system import System, Tables
@@ -129,12 +132,58 @@ def _window_start(system: System, key, W: int, n_opts: int):
 
 
 # ---------------------------------------------------------------------------
+# Brownian-bridge tables: the staging recursion as one matmul
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _bridge_tables(Lmax: int, dt: float):
+    """Unroll the staging recursion (vpi_mod.f90:531-533) into a linear map.
+
+    The recursion  x_j = a_j x_{j-1} + b_j anchor + s_j g_j  with
+    a_j=(L-j)/(L-j+1), b_j=1/(L-j+1), s_j=sqrt((L-j)/(L-j+1) dt)  composes to
+
+        x_j = (1 - j/L) start + (j/L) anchor + sum_k T_L[j,k] g_k,
+
+    i.e. the exact free-particle (Brownian) bridge, with T_L the implied
+    Cholesky factor of the bridge covariance:
+    T_L[j,k] = s_k * prod_{i=k+1..j} a_i  (1 <= k <= j <= L-1).
+
+    On TPU this turns the inherently sequential per-bead scan — the latency
+    bottleneck of every regrow move, and ~60%% of flagship step time in the
+    worm sweep — into ONE batched matmul consuming the same gaussians in the
+    same order (bitwise-equivalent distribution; fp-level agreement with the
+    scan is tested in tests/test_sampler.py).
+
+    Returns (T[Lmax+1, Lmax-1, Lmax-1], w[Lmax+1, Lmax-1]) as float64 numpy,
+    indexed by the segment length Ls; w[L, j-1] = j/L (anchor mean weight),
+    rows j >= L are zero.
+    """
+    J = Lmax - 1
+    T = np.zeros((Lmax + 1, J, J))
+    w = np.zeros((Lmax + 1, J))
+    for L in range(2, Lmax + 1):
+        a = np.ones(L)       # a[j] for j=1..L-1 at index j
+        s = np.zeros(L)
+        for j in range(1, L):
+            a[j] = (L - j) / (L - j + 1.0)
+            s[j] = np.sqrt((L - j) / (L - j + 1.0) * dt)
+        for j in range(1, L):
+            w[L, j - 1] = j / L
+            acc = s[j]
+            T[L, j - 1, j - 1] = acc
+            for k in range(j - 1, 0, -1):
+                # T[j,k] = s_k * prod_{i=k+1..j} a_i, built right-to-left
+                T[L, j - 1, k - 1] = s[k] * np.prod(a[k + 1:j + 1])
+    return T, w
+
+
+# ---------------------------------------------------------------------------
 # The segment-regrow workhorse
 # ---------------------------------------------------------------------------
 
 def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
                    ip, Ls, first_mode: str, first_w, first_pos=None,
-                   start_parity=None):
+                   start_parity=None, fixed_L=None):
     """Regrow path segments in 'head orientation', whole ensemble at once.
 
     seg:    [W, Lb+1, D] bead positions (index 0 = the end being regrown,
@@ -149,6 +198,8 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
     first_w: weight multiplying the first bead's Delta-S (0.5 for the worm
              central bead, vpi_mod.f90:1573-1577; 0.0 for Swap's pin).
     start_parity: static parity of ib_seg[:, 0] (all callers even-align).
+    fixed_L: static int when every walker's Ls equals it (interior staging)
+             — selects the single-matrix bridge matmul.
 
     Beads 1..Ls-1 are rebuilt by the exact staging recursion
     (vpi_mod.f90:509-549) toward the anchor; the interaction Delta-S of the
@@ -186,25 +237,47 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
             system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
             ip, ib_seg[..., :1]), axis=-1)
 
-    # staging reconstruction of beads 1..Ls-1 (scan over the static buffer)
+    # staging reconstruction of beads 1..Ls-1
     xolds = seg[:, 1:Lb]  # [W, Lb-1, D]
     gs = jax.random.normal(k_stag, (Lb - 1, W, D), dtype)
 
-    def body(prev_new, inp):
-        j, g, xold_j = inp
-        active = (j < Ls)[:, None]
-        nrem = jnp.maximum(Ls - j, 1).astype(dtype)[:, None]
-        xprev = xold_j + _mi(system, prev_new - xold_j)
-        xnext = xold_j - _mi(system, xold_j - anchor)
-        sigma = jnp.sqrt(nrem / (nrem + 1.0) * dt)
-        xmid = (xnext + xprev * nrem) / (nrem + 1.0)
-        xnew_j = _wrap_pos(system, xmid + sigma * g)
-        xnew_j = jnp.where(active, xnew_j, xold_j)
-        return xnew_j, xnew_j
+    if cfg.regrow == "bridge":
+        # one-matmul Brownian bridge (see _bridge_tables): distributionally
+        # identical to the scan, no sequential latency, rides the MXU
+        Tnp, wnp = _bridge_tables(Lb, dt)
+        g = gs.swapaxes(0, 1)                          # [W, Lb-1, D]
+        xdiff = -_mi(system, xnew0 - anchor)           # start -> anchor image
+        if fixed_L is not None:
+            # all walkers share one static length: single-matrix matmul
+            T1 = jnp.asarray(Tnp[fixed_L], dtype)      # [J, J]
+            wgt = jnp.asarray(wnp[fixed_L], dtype)[None, :]
+            z = jnp.einsum("jk,wkd->wjd", T1, g)
+        else:
+            T = jnp.asarray(Tnp, dtype)[Ls]            # [W, J, J]
+            wgt = jnp.asarray(wnp, dtype)[Ls]          # [W, J]
+            z = jnp.einsum("wjk,wkd->wjd", T, g)
+        mean = xnew0[:, None, :] + wgt[:, :, None] * xdiff[:, None, :]
+        xnews = _wrap_pos(system, mean + z)
+        act = (jnp.arange(1, Lb)[None, :] < Ls[:, None])[:, :, None]
+        xnews = jnp.where(act, xnews, xolds)
+    else:
+        # sequential scan form (the reference's literal recursion,
+        # vpi_mod.f90:509-549; kept for parity/regression testing)
+        def body(prev_new, inp):
+            j, g, xold_j = inp
+            active = (j < Ls)[:, None]
+            nrem = jnp.maximum(Ls - j, 1).astype(dtype)[:, None]
+            xprev = xold_j + _mi(system, prev_new - xold_j)
+            xnext = xold_j - _mi(system, xold_j - anchor)
+            sigma = jnp.sqrt(nrem / (nrem + 1.0) * dt)
+            xmid = (xnext + xprev * nrem) / (nrem + 1.0)
+            xnew_j = _wrap_pos(system, xmid + sigma * g)
+            xnew_j = jnp.where(active, xnew_j, xold_j)
+            return xnew_j, xnew_j
 
-    _, xnews = lax.scan(body, xnew0,
-                        (jnp.arange(1, Lb), gs, xolds.swapaxes(0, 1)))
-    xnews = xnews.swapaxes(0, 1)  # [W, Lb-1, D]
+        _, xnews = lax.scan(body, xnew0,
+                            (jnp.arange(1, Lb), gs, xolds.swapaxes(0, 1)))
+        xnews = xnews.swapaxes(0, 1)  # [W, Lb-1, D]
 
     rest_parity = None if start_parity is None else (start_parity + 1) % 2
     dS_rest = delta_action_sum(
@@ -282,7 +355,7 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        start_parity=0)
+        start_parity=0, fixed_L=L)
     acc = metropolis(k_acc, dS0 + dSr) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     chain = _update_beads(chain, ii, seg_fin)
@@ -307,7 +380,7 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS0, dSr = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        start_parity=par)
+        start_parity=par, fixed_L=L)
     acc = metropolis(k_acc, dS0 + dSr) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     chain = _update_beads(chain, ii, seg_fin)

@@ -146,3 +146,35 @@ def test_dipolar_2d_runs():
     assert np.isfinite(E) and np.isfinite(Et)
     assert stats.gr.sum() > 0
     assert np.isfinite(np.asarray(stats.sk)).all()
+
+
+def test_bridge_regrow_matches_scan():
+    """The one-matmul Brownian-bridge regrow (cfg.regrow='bridge') is the
+    staging recursion unrolled: same gaussians, same order, same linear
+    combination — outputs must agree to fp roundoff (trap, no PBC wraps)."""
+    import jax.numpy as jnp
+    from pathintegralgroundstate_tpu.ops.moves import segment_regrow
+
+    kw = dict(dim=3, Np=4, trap=True, a_ho=(1.0, 1.0, 1.0), potential="none",
+              dt=0.05, Nb=8, n_walkers=32, dtype="float64", sampling="sta",
+              Lstag=8, seed=3)
+    outs = {}
+    for mode in ("bridge", "scan"):
+        cfg = SimConfig(regrow=mode, **kw)
+        system = make_system(cfg)
+        tables = make_tables(system)
+        st = init_state(system, key=jax.random.key(1))
+        # jitter beads so the segment isn't degenerate
+        pk = jax.random.normal(jax.random.key(2), st.paths.shape) * 0.1
+        paths = st.paths + pk
+        W = cfg.n_walkers
+        seg = paths[:, :9, 0, :]
+        R_seg = paths[:, :9]
+        ib_seg = jnp.broadcast_to(jnp.arange(9), (W, 9))
+        Ls = jax.random.randint(jax.random.key(4), (W,), 2, 9)
+        outs[mode] = segment_regrow(
+            system, tables, jax.random.key(5), seg, R_seg, ib_seg, 0, Ls,
+            "gauss", 1.0, start_parity=0)
+    for a, b in zip(outs["bridge"], outs["scan"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
