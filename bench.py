@@ -1,66 +1,119 @@
 #!/usr/bin/env python
-"""Benchmark: bead-updates/s/chip on the reference's shipped He-4 workload
-(vpi.in:1-33 — N=64, Nb=32, bisection Nlev=4, Nstag=5, worm on) batched over
-a walker ensemble.  Prints ONE JSON line.
+"""Benchmark: the declared flagship workload (BASELINE.json config #3 —
+He-4, N=64, Nb=32, Chin action, bisection Nlev=4, worm on, 4096 walkers)
+on one chip.  Prints ONE JSON line.
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is reported
-against the serial-Fortran cost model estimate of ~2e6 bead-updates/s for
-one CPU core (derived cost model, SURVEY.md §6), i.e. the factor by which
-the TPU ensemble engine out-runs the reference's single walker.
+Protocol: one compile+warmup block, then NREPS timed blocks of NSTEP full MC
+steps each; the metric uses the median rep (all reps reported).  Every timed
+quantity is synchronized through a host readback (block_until_ready alone
+does not drain the axon relay queue).
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+denominator is the measured single-walker jnp rate of THIS engine on one
+CPU core of this box — the closest stand-in for the reference's serial
+Fortran process (same algorithm, same workload, one walker).  Measured via
+PIGS_BENCH_CPU_BASELINE=1 (takes ~10 min, dominated by compile); the stored
+constant below records the last measurement.
+
+Roofline context (docs/VALIDATION.md §perf): the hot arithmetic is the
+Aziz-II pair kernel (~45 f32 VPU flops + 2 exp per pair).  At the measured
+flagship rate the fused Pallas pair kernels sustain ~24 G pair-evals/s
+(~1.1 TFLOP/s-equivalent on the VPU); the residual step time is the
+sequential per-particle Metropolis chain (Nstag*Np*3 dependent moves/step),
+i.e. latency-bound control flow, not pair arithmetic.
 """
 
 import json
+import os
 import time
 
 import jax
+import numpy as np
 
 from pathintegralgroundstate_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
+# Single-walker, single-CPU-core jnp rate on this box (bead-updates/s),
+# measured 2026-08-20 with PIGS_BENCH_CPU_BASELINE=1 (flagship config,
+# n_walkers=1, jnp path): see docs/VALIDATION.md §perf.
+CPU_1WALKER_BEAD_UPDATES_PER_S = 1.06e5
 
-REF_BEAD_UPDATES_PER_S = 2.0e6  # serial-CPU cost-model estimate (BASELINE.md)
+NSTEP = 5
+NREPS = 3
 
 
-def main():
+def _bead_updates_per_step(cfg):
+    """Bead updates attempted per MC step per walker (displaced beads)."""
+    M = 2 * cfg.Nb + 1
+    window = 2 ** cfg.Nlev if cfg.sampling == "bis" else cfg.Lstag
+    per = cfg.Np * (M // max(cfg.CMFreq, 1)     # CM: all beads
+                    + cfg.Nstag * 3 * window)   # head/tail/staging-bisection
+    if cfg.CWorm > 0:
+        per += cfg.Nobdm * (2 * (cfg.Nb + 1) + 2 * 3 * cfg.Lstag)
+    return per
+
+
+def _run(cfg, nreps=NREPS):
     from pathintegralgroundstate_tpu.state import init_state
     from pathintegralgroundstate_tpu.sweep import Sweeper, run_block
     from pathintegralgroundstate_tpu.system import make_system, make_tables
-    from __graft_entry__ import _flagship_cfg
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    W = 512 if on_tpu else 8
-    cfg = _flagship_cfg(n_walkers=W)
-    if not on_tpu:  # CPU smoke fallback: shrink the workload
-        cfg = cfg.replace(Nb=8, Np=16, Nstag=1, Nobdm=2)
     system = make_system(cfg)
     tables = make_tables(system)
     sweeper = Sweeper(system, tables)
     state = init_state(system)
+    block = jax.jit(lambda st: run_block(system, tables, sweeper, st, NSTEP))
 
-    nstep = 5
-    block = jax.jit(lambda st: run_block(system, tables, sweeper, st, nstep))
-    import numpy as np
     state, stats = block(state)          # compile + warmup
-    np.asarray(stats.counters)           # force a real device sync/readback
-    t0 = time.time()
-    state, stats = block(state)
-    np.asarray(stats.counters)           # sync: block_until_ready alone does
-    dt = time.time() - t0                # not drain the axon relay queue
+    np.asarray(stats.counters)           # full sync through the relay
+    reps = []
+    for _ in range(nreps):
+        t0 = time.time()
+        state, stats = block(state)
+        np.asarray(stats.counters)
+        reps.append(time.time() - t0)
+    return reps
 
-    # bead updates attempted per step (displaced beads across all moves)
-    M = cfg.M
-    window = 2 ** cfg.Nlev if cfg.sampling == "bis" else cfg.Lstag
-    per_step = cfg.Np * (M // max(cfg.CMFreq, 1)          # CM: all beads
-                         + cfg.Nstag * 3 * window)        # head/tail/staging
-    if cfg.CWorm > 0:
-        per_step += cfg.Nobdm * (2 * (cfg.Nb + 1) + 2 * 3 * cfg.Lstag)
-    total = per_step * nstep * W
+
+def main():
+    enable_compilation_cache()
+    from __graft_entry__ import _flagship_cfg
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    if os.environ.get("PIGS_BENCH_CPU_BASELINE", "") not in ("", "0"):
+        # measure the single-walker serial-CPU denominator
+        cfg = _flagship_cfg(n_walkers=1).replace(use_pallas=False)
+        reps = _run(cfg, nreps=3)
+        dt = float(np.median(reps))
+        rate = _bead_updates_per_step(cfg) * NSTEP / dt
+        print(json.dumps({"cpu_1walker_bead_updates_per_s": rate,
+                          "reps_s": reps}))
+        return
+
+    W = 4096 if on_tpu else 8
+    cfg = _flagship_cfg(n_walkers=W)
+    if not on_tpu:  # CPU smoke fallback: shrink the workload
+        cfg = cfg.replace(Nb=8, Np=16, Nstag=1, Nobdm=2)
+
+    if os.environ.get("PIGS_BENCH_NO_PALLAS", "") not in ("", "0"):
+        cfg = cfg.replace(use_pallas=False)
+
+    reps = _run(cfg)
+    dt = float(np.median(reps))
+    total = _bead_updates_per_step(cfg) * NSTEP * W
     rate = total / dt
     print(json.dumps({
         "metric": "bead_updates_per_s_per_chip",
         "value": rate,
         "unit": "bead-updates/s/chip",
-        "vs_baseline": rate / REF_BEAD_UPDATES_PER_S,
+        "vs_baseline": rate / CPU_1WALKER_BEAD_UPDATES_PER_S,
+        "walkers_per_s": W * NSTEP / dt,
+        "n_walkers": W,
+        "reps_s": [round(r, 4) for r in reps],
+        "pallas": bool(cfg.use_pallas),
+        "baseline_def": "measured 1-walker jnp rate on 1 CPU core "
+                        "(PIGS_BENCH_CPU_BASELINE=1): %.3g bead-updates/s"
+                        % CPU_1WALKER_BEAD_UPDATES_PER_S,
     }))
 
 

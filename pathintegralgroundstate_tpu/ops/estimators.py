@@ -88,39 +88,50 @@ def therm_energy(system: System, tables: Tables, paths_w):
     reference's rcut gate under PBC, sample_mod.f90:377), and closes with
     E = 0.5*(E/Nb + d*N/dt).  Returns (E, Ec, Ep) with Ep the potential at
     the central bead.
+
+    Accepts a single walker [M, N, D] (scalar outputs) or the whole ensemble
+    [W, M, N, D] ([W] outputs).  The ensemble form feeds the pair sums as
+    4-D [W, Nb, N, D] blocks — the shape the fused Pallas kernel
+    (ops/pallas_kernels.pair_pot_pallas) consumes; this O(Np^2 * 2Nb) sweep
+    is the single biggest FLOP block per MC step.
     """
+    single = paths_w.ndim == 3
+    if single:
+        paths_w = paths_w[None]
+
     cfg = system.cfg
     Nb, dt = cfg.Nb, cfg.dt
     M = system.M
     dtype = paths_w.dtype
 
     # even beads 0,2,..,2Nb-2 need V only; odd beads 1,3,..,2Nb-1 need V+F2
-    even_idx = jnp.arange(0, M - 1, 2)
-    odd_idx = jnp.arange(1, M - 1, 2)
-    pot_even, _ = jax.vmap(lambda x: pair_pot(system, tables, x, False))(
-        paths_w[even_idx])
-    pot_odd, f2_odd = jax.vmap(lambda x: pair_pot(system, tables, x, True))(
-        paths_w[odd_idx])
+    pot_even, _ = pair_pot(system, tables, paths_w[:, 0:M - 1:2], False)
+    pot_odd, f2_odd = pair_pot(system, tables, paths_w[:, 1:M - 1:2], True)
 
     # Simpson weights, opt=1 (global_mod.f90:50-65); bead 2*Nb never enters
     # (the reference loop stops at 2*Nb-1, sample_mod.f90:344)
     w_even = jnp.full((Nb,), 2.0 / 3.0, dtype).at[0].set(1.0 / 3.0)
-    E = jnp.sum(w_even * pot_even)
-    E = E + jnp.sum(4.0 / 3.0 * (pot_odd + 0.5 * dt * dt * f2_odd))
+    E = jnp.sum(w_even * pot_even, axis=-1)
+    E = E + jnp.sum(4.0 / 3.0 * (pot_odd + 0.5 * dt * dt * f2_odd), axis=-1)
 
-    Ep = pot_even[Nb // 2] if Nb % 2 == 0 else pot_odd[Nb // 2]
+    # central-bead potential: bead Nb sits in the even subset when Nb is
+    # even, else in the odd subset (both at index Nb//2)
+    Ep = pot_even[:, Nb // 2] if Nb % 2 == 0 else pot_odd[:, Nb // 2]
 
     # spring terms over links ib -> ib+1
-    dx = paths_w[:-1] - paths_w[1:]  # [M-1, N, D]
+    dx = paths_w[:, :-1] - paths_w[:, 1:]  # [W, M-1, N, D]
     if system.pbc:
         dx, rij2 = minimum_image(dx, system.geo.Lbox)
         spring = jnp.where(rij2 <= system.geo.rcut2, rij2, 0.0)
     else:
         spring = jnp.sum(dx * dx, axis=-1)
-    E = E - 0.5 * jnp.sum(spring) / (dt * dt)
+    E = E - 0.5 * jnp.sum(spring, axis=(-1, -2)) / (dt * dt)
 
     E = 0.5 * (E / Nb + cfg.dim * cfg.Np / dt)
-    return E, E - Ep, Ep
+    out = (E, E - Ep, Ep)
+    if single:
+        out = tuple(x[0] for x in out)
+    return out
 
 
 def pair_correlation(system: System, R):

@@ -153,6 +153,11 @@ def delta_wf(system: System, tables: Tables, R, xnew, xold, ip):
     """
     geo, cfg = system.geo, system.cfg
 
+    if cfg.use_pallas and jnp.ndim(R) == 4:
+        from .pallas_kernels import pallas_ok_wf, pair_u_pallas
+        if pallas_ok_wf(system, R):
+            return pair_u_pallas(system, R, xnew, xold, ip)
+
     def side(x):
         notself, rij2, r, _ = _pair_terms(system, x, R, ip)
         if system.pbc:
@@ -320,6 +325,12 @@ def pair_pot(system: System, tables: Tables, R, with_force: bool = False):
     Returns (Pot, F2) — F2 = sum_i |F_i|^2 (0.0 if with_force=False).
     """
     geo, cfg = system.geo, system.cfg
+
+    if cfg.use_pallas and jnp.ndim(R) == 4:
+        from .pallas_kernels import pallas_ok, pair_pot_pallas
+        if pallas_ok(system, R):
+            return pair_pot_pallas(system, R, with_force)
+
     N = R.shape[-2]
     xij = R[..., :, None, :] - R[..., None, :, :]  # [N, N, D]
     if system.pbc:

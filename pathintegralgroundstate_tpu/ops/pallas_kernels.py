@@ -1,21 +1,31 @@
-"""Fused Pallas TPU kernel for the pair-delta hot path.
+"""Fused Pallas TPU kernels for the pair-interaction hot paths.
 
 XLA materializes the [W, B, N]-shaped intermediates of the pair computation
-between fusions, which makes the jnp path HBM-bound at ~1/10 of the chip's
-elementwise throughput (see bench notes in BENCH journal).  This kernel
-keeps the whole per-tile computation — minimum image, r^2, cutoff/self
-masks, fused V+dV/dr, force accumulation, and BOTH the new and old sides —
-in VMEM/registers, so the only HBM traffic is one read of the partner
+between fusions, which makes the jnp path HBM-bound at a small fraction of
+the chip's elementwise throughput.  These kernels keep the whole per-tile
+computation — minimum image, r^2, cutoff/self masks, fused V+dV/dr (or the
+Jastrow u), force accumulation, and BOTH the new and old sides — in
+VMEM/registers, so the only HBM traffic is one read of the partner
 positions R and the tiny per-row outputs.
+
+Three kernels cover the reference's [HOT] pair loops (SURVEY.md §2):
+
+  pair_delta_pallas  — UpdatePot   (vpi_mod.f90:2660-2841): per displaced
+                       bead, (dPot, dF^2) against all partners.
+  pair_u_pallas      — UpdateWf    (vpi_mod.f90:2534-2656): per displaced
+                       bead, dLogPsi against all partners.
+  pair_pot_pallas    — PotentialEnergy / the ThermEnergy O(Np^2 * 2Nb) sweep
+                       (sample_mod.f90:13-150, 323-388): full all-pairs
+                       potential (+ total |F|^2) of whole configurations.
 
 Layout: rows = flattened (walker, bead) pairs on the lane axis; partners N
 on sublanes; spatial dims D unrolled:
 
-    R_t    [D, N, ROWS]   partner positions per displaced-bead row
+    R_t    [D, N, ROWS]   partner positions per row
     x_t    [D, ROWS]      displaced-particle positions (new and old)
     ip_row [1, ROWS]      moved-particle index per row (self-exclusion)
 
-Grid tiles ROWS; each program computes dpot/df2 for TILE rows.
+Grid tiles ROWS; each program computes its outputs for TILE rows.
 """
 
 from __future__ import annotations
@@ -30,33 +40,49 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 512
 
 
-def _kernel(system, with_force, Rt_ref, xn_ref, xo_ref, ip_ref,
-            dpot_ref, df2_ref):
+def _min_image_terms(system, x_row, Rt_ref, notself, dtype):
+    """Minimum-image (dx_k list, r2, masked rinv/r) of x[TILE] vs R[N, TILE]."""
     geo = system.geo
+    D = system.cfg.dim
+    r2 = None
+    dxs = []
+    for k in range(D):
+        dx = x_row[k] - Rt_ref[k]
+        if system.pbc:
+            L = jnp.asarray(geo.Lbox[k], dtype)
+            half = jnp.asarray(0.5 * geo.Lbox[k], dtype)
+            dx = jnp.where(dx > half, dx - L, dx)
+            dx = jnp.where(dx < -half, dx + L, dx)
+        dxs.append(dx)
+        r2 = dx * dx if r2 is None else r2 + dx * dx
+    r2s = jnp.where(notself, r2, 1.0)
+    rinv = jax.lax.rsqrt(r2s)
+    r = r2s * rinv
+    return dxs, r2, rinv, r
+
+
+def _pair_mask(system, notself, r2, dtype):
+    if system.pbc:
+        rcut2 = jnp.asarray(system.geo.rcut2, dtype)
+        return notself & (r2 <= rcut2)
+    return notself
+
+
+def _delta_kernel(system, with_force, Rt_ref, xn_ref, xo_ref, ip_ref,
+                  dpot_ref, df2_ref):
+    """(dPot, dF^2) per row — the UpdatePot equivalent."""
     D = system.cfg.dim
     N = Rt_ref.shape[1]
     dtype = Rt_ref.dtype
-    Ls = geo.Lbox
-    rcut2 = jnp.asarray(geo.rcut2, dtype)
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TILE), 0)
     notself = iota_n != ip_ref[0, :][None, :]
 
     def side(x_ref):
-        r2 = jnp.zeros((N, TILE), dtype)
-        dxs = []
-        for k in range(D):
-            dx = x_ref[k, :][None, :] - Rt_ref[k]
-            L = jnp.asarray(Ls[k], dtype)
-            half = jnp.asarray(0.5 * Ls[k], dtype)
-            dx = jnp.where(dx > half, dx - L, dx)
-            dx = jnp.where(dx < -half, dx + L, dx)
-            dxs.append(dx)
-            r2 = r2 + dx * dx
-        m = notself & (r2 <= rcut2)
-        r2s = jnp.where(notself, r2, 1.0)
-        rinv = jax.lax.rsqrt(r2s)
-        r = r2s * rinv
+        x_row = [x_ref[k, :][None, :] for k in range(D)]
+        dxs, r2, rinv, r = _min_image_terms(system, x_row, Rt_ref, notself,
+                                            dtype)
+        m = _pair_mask(system, notself, r2, dtype)
         if with_force:
             try:
                 v, dv = system.potential.v_dv(r, rinv)
@@ -82,12 +108,123 @@ def _kernel(system, with_force, Rt_ref, xn_ref, xo_ref, ip_ref,
         df2_ref[0, :] = jnp.zeros((TILE,), dtype)
 
 
+def _u_kernel(system, Rt_ref, xn_ref, xo_ref, ip_ref, dwf_ref):
+    """dLogPsi per row — the UpdateWf equivalent (pair part)."""
+    D = system.cfg.dim
+    N = Rt_ref.shape[1]
+    dtype = Rt_ref.dtype
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TILE), 0)
+    notself = iota_n != ip_ref[0, :][None, :]
+
+    def side(x_ref):
+        x_row = [x_ref[k, :][None, :] for k in range(D)]
+        _, r2, _, r = _min_image_terms(system, x_row, Rt_ref, notself, dtype)
+        m = _pair_mask(system, notself, r2, dtype)
+        u = system.u(r)
+        return jnp.sum(jnp.where(m, u, 0.0), axis=0)
+
+    dwf_ref[0, :] = side(xn_ref) - side(xo_ref)
+
+
+def _pot_kernel(system, with_force, Rt_ref, pot_ref, f2_ref):
+    """All-pairs (Pot, sum_i |F_i|^2) per row — PotentialEnergy equivalent.
+
+    Loops particles i = 0..N-1 (static unroll is too large; fori_loop keeps
+    the program small); each iteration is the same [N, TILE] pair pass as
+    the delta kernel with x := R[:, i, :].
+    """
+    D = system.cfg.dim
+    N = Rt_ref.shape[1]
+    dtype = Rt_ref.dtype
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TILE), 0)
+
+    def body(i, carry):
+        pot_acc, f2_acc = carry
+        notself = iota_n != i
+        x_row = [Rt_ref[k, i, :][None, :] for k in range(D)]
+        dxs, r2, rinv, r = _min_image_terms(system, x_row, Rt_ref, notself,
+                                            dtype)
+        m = _pair_mask(system, notself, r2, dtype)
+        if with_force:
+            try:
+                v, dv = system.potential.v_dv(r, rinv)
+            except TypeError:
+                v, dv = system.potential.v_dv(r)
+            pot_acc = pot_acc + jnp.sum(jnp.where(m, v, 0.0), axis=0)
+            fr = jnp.where(m, dv * rinv, 0.0)
+            f2_i = jnp.zeros((TILE,), dtype)
+            for k in range(D):
+                Fk = jnp.sum(fr * dxs[k], axis=0)
+                f2_i = f2_i + Fk * Fk
+            f2_acc = f2_acc + f2_i
+        else:
+            v = system.potential.v(r)
+            pot_acc = pot_acc + jnp.sum(jnp.where(m, v, 0.0), axis=0)
+        return pot_acc, f2_acc
+
+    z = jnp.zeros((TILE,), dtype)
+    pot, f2 = jax.lax.fori_loop(0, N, body, (z, z))
+    pot_ref[0, :] = 0.5 * pot  # each unordered pair counted once
+    f2_ref[0, :] = f2
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _backend_ok() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def pallas_ok(system, R) -> bool:
-    """Whether the fused kernel applies to this configuration."""
+    """Whether the fused delta/pot kernels apply to this configuration."""
     cfg = system.cfg
     return (cfg.use_pallas and system.pbc and not cfg.v_table
-            and R.ndim == 4 and R.shape[-2] % 8 == 0
-            and jax.default_backend() == "tpu")
+            and R.ndim == 4 and R.shape[-2] % 8 == 0 and _backend_ok())
+
+
+def pallas_ok_wf(system, R) -> bool:
+    """Same, for the Jastrow kernel (needs the closed-form u)."""
+    cfg = system.cfg
+    return (cfg.use_pallas and system.pbc and not cfg.wf_table
+            and R.ndim == 4 and R.shape[-2] % 8 == 0 and _backend_ok())
+
+
+def _rows_layout(R, *xs):
+    """Flatten [W, B, ...] leading axes into padded lane rows."""
+    W, B, N, D = R.shape
+    rows = W * B
+    rows_p = ((rows + TILE - 1) // TILE) * TILE
+    Rt = jnp.transpose(R, (3, 2, 0, 1)).reshape(D, N, rows)
+    outs = [Rt]
+    for x in xs:
+        outs.append(jnp.transpose(x, (2, 0, 1)).reshape(D, rows))
+    if rows_p != rows:
+        pad = rows_p - rows
+        outs[0] = jnp.pad(outs[0], ((0, 0), (0, 0), (0, pad)))
+        for i in range(1, len(outs)):
+            outs[i] = jnp.pad(outs[i], ((0, 0), (0, pad)))
+    return outs, rows, rows_p
+
+
+def _ip_rows(ip, W, B, rows, rows_p):
+    ip = jnp.asarray(ip, jnp.int32)
+    if ip.ndim == 0:
+        ip_row = jnp.full((1, rows), ip, jnp.int32)
+    else:
+        ip_row = jnp.broadcast_to(ip[:, None], (W, B)).reshape(1, rows)
+    if rows_p != rows:
+        ip_row = jnp.pad(ip_row, ((0, 0), (0, rows_p - rows)))
+    return ip_row
+
+
+def _row_spec(lead):
+    """BlockSpec tiling the trailing row axis: block = lead + (TILE,)."""
+    nlead = len(lead)
+    return pl.BlockSpec(tuple(lead) + (TILE,),
+                        lambda i, _n=nlead: (0,) * _n + (i,),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -99,52 +236,61 @@ def pair_delta_pallas(system, R, xnew, xold, ip, with_force: bool):
     """
     W, B, N, D = R.shape
     dtype = R.dtype
-    rows = W * B
-    rows_p = ((rows + TILE - 1) // TILE) * TILE
+    (Rt, xn, xo), rows, rows_p = _rows_layout(R, xnew, xold)
+    ip_row = _ip_rows(ip, W, B, rows, rows_p)
 
-    # rows on lanes: [D, N, rows]
-    Rt = jnp.transpose(R, (3, 2, 0, 1)).reshape(D, N, rows)
-    xn = jnp.transpose(xnew, (2, 0, 1)).reshape(D, rows)
-    xo = jnp.transpose(xold, (2, 0, 1)).reshape(D, rows)
-    ip = jnp.asarray(ip, jnp.int32)
-    if ip.ndim == 0:
-        ip_row = jnp.full((1, rows), ip, jnp.int32)
-    else:
-        ip_row = jnp.broadcast_to(ip[:, None], (W, B)).reshape(1, rows)
-
-    if rows_p != rows:
-        pad = rows_p - rows
-        Rt = jnp.pad(Rt, ((0, 0), (0, 0), (0, pad)))
-        xn = jnp.pad(xn, ((0, 0), (0, pad)))
-        xo = jnp.pad(xo, ((0, 0), (0, pad)))
-        ip_row = jnp.pad(ip_row, ((0, 0), (0, pad)))
-
-    grid = (rows_p // TILE,)
-    kernel = functools.partial(_kernel, system, with_force)
+    kernel = functools.partial(_delta_kernel, system, with_force)
     dpot, df2 = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((D, N, TILE), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, rows_p), dtype),
-            jax.ShapeDtypeStruct((1, rows_p), dtype),
-        ],
+        grid=(rows_p // TILE,),
+        in_specs=[_row_spec((D, N)), _row_spec((D,)), _row_spec((D,)),
+                  _row_spec((1,))],
+        out_specs=[_row_spec((1,)), _row_spec((1,))],
+        out_shape=[jax.ShapeDtypeStruct((1, rows_p), dtype),
+                   jax.ShapeDtypeStruct((1, rows_p), dtype)],
     )(Rt, xn, xo, ip_row)
-    dpot = dpot[0, :rows].reshape(W, B)
-    df2 = df2[0, :rows].reshape(W, B)
-    return dpot, df2
+    return dpot[0, :rows].reshape(W, B), df2[0, :rows].reshape(W, B)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def pair_u_pallas(system, R, xnew, xold, ip):
+    """Fused dLogPsi (pair part) for R[W,B,N,D] — UpdateWf's partner loop."""
+    W, B, N, D = R.shape
+    dtype = R.dtype
+    (Rt, xn, xo), rows, rows_p = _rows_layout(R, xnew, xold)
+    ip_row = _ip_rows(ip, W, B, rows, rows_p)
+
+    kernel = functools.partial(_u_kernel, system)
+    dwf = pl.pallas_call(
+        kernel,
+        grid=(rows_p // TILE,),
+        in_specs=[_row_spec((D, N)), _row_spec((D,)), _row_spec((D,)),
+                  _row_spec((1,))],
+        out_specs=_row_spec((1,)),
+        out_shape=jax.ShapeDtypeStruct((1, rows_p), dtype),
+    )(Rt, xn, xo, ip_row)
+    return dwf[0, :rows].reshape(W, B)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pair_pot_pallas(system, R, with_force: bool):
+    """Fused all-pairs (Pot, sum_i |F_i|^2) for R[W,B,N,D] configurations.
+
+    The ThermEnergy / PotentialEnergy substrate (sample_mod.f90:13-150,
+    323-388): one program evaluates N×N pairs for TILE (walker, bead) rows
+    entirely in VMEM.  Trap one-body terms are added by the caller.
+    """
+    W, B, N, D = R.shape
+    dtype = R.dtype
+    (Rt,), rows, rows_p = _rows_layout(R)
+
+    kernel = functools.partial(_pot_kernel, system, with_force)
+    pot, f2 = pl.pallas_call(
+        kernel,
+        grid=(rows_p // TILE,),
+        in_specs=[_row_spec((D, N))],
+        out_specs=[_row_spec((1,)), _row_spec((1,))],
+        out_shape=[jax.ShapeDtypeStruct((1, rows_p), dtype),
+                   jax.ShapeDtypeStruct((1, rows_p), dtype)],
+    )(Rt)
+    return pot[0, :rows].reshape(W, B), f2[0, :rows].reshape(W, B)

@@ -52,13 +52,22 @@ class System:
         return not self.cfg.trap
 
     def u(self, r):
-        """Two-body log-Jastrow u(r)."""
+        """Two-body log-Jastrow u(r).  cfg.jastrow selects the family:
+        'mcmillan' (the reference's, system_mod.f90:44-46) or 'none'
+        (u == 0; exact for the ideal Bose gas — the analytic-limit switch
+        the reference keeps in comments, system_mod.f90:63)."""
+        if self.cfg.jastrow == "none":
+            return jnp.zeros_like(r)
         return jas.mcmillan_u(self.cfg.Rm, r)
 
     def du(self, r):
+        if self.cfg.jastrow == "none":
+            return jnp.zeros_like(r)
         return jas.mcmillan_du(self.cfg.Rm, r)
 
     def d2u(self, r):
+        if self.cfg.jastrow == "none":
+            return jnp.zeros_like(r)
         return jas.mcmillan_d2u(self.cfg.Rm, r)
 
 

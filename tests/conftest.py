@@ -9,14 +9,19 @@ initialization (SURVEY.md §4 'Multi-device without a pod').
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PIGS_TEST_TPU", "") in ("", "0"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+else:
+    # PIGS_TEST_TPU=1: run on the real chip (compiled-Pallas parity tests;
+    # f64 stays off — TPUs have no native float64)
+    import jax  # noqa: F401
