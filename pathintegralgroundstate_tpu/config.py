@@ -72,7 +72,9 @@ class SimConfig:
     n_walkers: int = 64          # W: walker-ensemble size (ref: 1, vpi.f90:134)
     dtype: str = "float32"       # compute dtype on device ("float64" for CPU parity)
     potential: str = "aziz2"     # aziz2 | aziz1 | soft | dipolar | none
-    use_pallas: bool = False     # fused Pallas pair kernels on TPU
+    use_pallas: bool = True      # fused Pallas pair kernels (auto-gated: TPU
+                                 # backend + PBC + closed-form potential/WF;
+                                 # anything else falls back to the jnp path)
     mesh_walkers: int = 1        # data-parallel shards of the walker axis
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner axis
     distributed: bool = False    # call jax.distributed.initialize() (multi-host)
@@ -86,6 +88,9 @@ class SimConfig:
                                  # "scan" (the reference's sequential
                                  # recursion; same distribution, for parity)
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
+    smart_mc: float = 0.0        # MALA step size eps (>0 adds one gradient-
+                                 # drifted whole-path move per step to
+                                 # diagonal walkers; see ops/smartmc.py)
     shared_windows: bool = True  # one window offset per move site shared by
                                  # all walkers (exact kernel mixture, ~10x
                                  # faster; see ops.moves._window_start).

@@ -60,6 +60,7 @@ COUNTER_NAMES = (
     "try_cm_half", "acc_cm_half", "try_stag_half", "acc_bd_half",
     "acc_head_half", "acc_tail_half",
     "try_open", "acc_open", "try_close", "acc_close", "try_swap", "acc_swap",
+    "try_mala", "acc_mala",
 )
 _CIDX = {n: i for i, n in enumerate(COUNTER_NAMES)}
 
@@ -117,7 +118,9 @@ class Sweeper:
         self.v_swap = partial(wm.swap_move, s, t)
         self.v_obdm = partial(wm.obdm_terms, s)
         self.v_local_e = _vm(partial(est.local_energy, s, t), 0)
-        self.v_therm_e = _vm(partial(est.therm_energy, s, t), 0)
+        # therm_energy handles the ensemble natively (its pair sums are 4-D
+        # blocks routed to the fused Pallas kernel) — no vmap
+        self.v_therm_e = partial(est.therm_energy, s, t)
         self.v_gr = _vm(partial(est.pair_correlation, s), 0)
         self.v_sk = _vm(partial(est.structure_factor, s, cfg.Nk), 0)
 
@@ -202,6 +205,17 @@ class Sweeper:
 
         if cfg.CMFreq > 0:  # CMFreq<=0 disables the CM sweep structurally
             paths, ctr = lax.fori_loop(0, Np, cm_body, (paths, ctr))
+
+        # ---- 2b. smart-MC (MALA) whole-path move (ops/smartmc.py; no
+        # reference analogue — powered by the differentiable action) ----
+        if cfg.smart_mc > 0.0:
+            from .ops.smartmc import mala_move
+            diag_now = ~isopen
+            paths, acc_m = mala_move(self.system, self.tables,
+                                     self._mk(k_step, 60), paths, diag_now,
+                                     cfg.smart_mc)
+            ctr = ctr.at[_CIDX["try_mala"]].add(_i32sum(diag_now))
+            ctr = ctr.at[_CIDX["acc_mala"]].add(_i32sum(acc_m))
 
         # ---- 3. staging/bisection sweeps (vpi.f90:344-366 / 421-439) ----
         def stag_body(it, carry):

@@ -178,3 +178,25 @@ def test_tail_bisection_invariance(setup):
                                               ACTIVE, 2)
     x = _iterate(fn, paths0, jax.random.key(106))
     _check_invariant(x, Sigma, beads=[2 * NB, 2 * NB - 2, NB])
+
+
+def test_mala_invariance(setup):
+    """Smart-MC (ops/smartmc.py): the gradient-drifted MALA kernel targets
+    exp(-total_action) — exactly the Gaussian measure above — and must leave
+    it invariant, with a healthy acceptance rate."""
+    from pathintegralgroundstate_tpu.ops.smartmc import mala_move
+
+    system, tables, paths0, Sigma = setup
+    accs = []
+
+    def fn(k, p):
+        p, acc = mala_move(system, tables, k, p, ACTIVE, 0.05)
+        return p, acc
+
+    x = _iterate(fn, paths0, jax.random.key(107))
+    _check_invariant(x, Sigma, beads=[0, 2, NB, 2 * NB])
+
+    # acceptance sanity (single application)
+    _, acc = jax.jit(fn)(jax.random.key(9), paths0)
+    rate = float(jnp.mean(acc))
+    assert 0.2 < rate <= 1.0, f"MALA acceptance {rate}"
