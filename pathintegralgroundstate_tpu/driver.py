@@ -123,6 +123,11 @@ class Driver:
         cfg = self.cfg
         return dict(
             diag_bl=0, obdm_bl=0, iblock=0,
+            # OBDM super-block carry (vpi.f90:522-539): nrho accumulates
+            # ACROSS blocks and is flushed only once at least one block's
+            # worth of diagonal walker-steps has been collected
+            idiag_aux=0.0,
+            nrho_carry=np.zeros((cfg.Npw + 1, cfg.Nbin)),
             AvE=0.0, AvK=0.0, AvV=0.0, AvE2=0.0, AvK2=0.0, AvV2=0.0,
             AvEt=0.0, AvKt=0.0, AvVt=0.0, AvEt2=0.0, AvKt2=0.0, AvVt2=0.0,
             AvGr=np.zeros(cfg.Nbin), AvGr2=np.zeros(cfg.Nbin),
@@ -225,15 +230,25 @@ class Driver:
             fet.write("%20.10e%20.10e%20.10e%20.10e\n" % (
                 ib, blk["AvEt"] / cfg.Np, blk["AvKt"] / cfg.Np, blk["AvVt"] / cfg.Np))
 
-        # OBDM super-block (vpi.f90:522-539)
-        if cfg.CWorm > 0.0 and not cfg.trap and nd > 0:
-            acc["obdm_bl"] += 1
-            nid = shell_norm(cfg.dim, self.system.geo.density,
-                             self.system.geo.rbin, cfg.Nbin)
-            nrho = np.asarray(stats.nrho) / (
-                cfg.CWorm * nid[None, :] * nd * max(cfg.Nobdm, 1))
-            acc["AvNr"] += nrho
-            acc["AvNr2"] += nrho * nrho
+        # OBDM super-block (vpi.f90:522-539): accumulate nrho and the
+        # diagonal-step count across blocks; flush into the global average
+        # only when at least one block's worth of diagonal steps (Nstep per
+        # walker in the reference; Nstep*W here) has been collected — this
+        # matters when the diagonal fraction is low (deep worm sectors)
+        if cfg.CWorm > 0.0 and not cfg.trap:
+            acc["nrho_carry"] = acc["nrho_carry"] + np.asarray(stats.nrho)
+            acc["idiag_aux"] += nd
+            if acc["idiag_aux"] / (cfg.Nstep * cfg.n_walkers) >= 1.0:
+                acc["obdm_bl"] += 1
+                nid = shell_norm(cfg.dim, self.system.geo.density,
+                                 self.system.geo.rbin, cfg.Nbin)
+                nrho = acc["nrho_carry"] / (
+                    cfg.CWorm * nid[None, :] * acc["idiag_aux"]
+                    * max(cfg.Nobdm, 1))
+                acc["AvNr"] += nrho
+                acc["AvNr2"] += nrho * nrho
+                acc["idiag_aux"] = 0.0
+                acc["nrho_carry"] = np.zeros_like(acc["nrho_carry"])
 
         acc["perm_hist"] += np.asarray(stats.perm_hist)
 
@@ -294,6 +309,8 @@ class Driver:
         print(f"> Staging movements = {pct(c['acc_bd'], c['try_stag']):7.2f} %")
         print(f"> Head movements    = {pct(c['acc_head'], c['try_stag']):7.2f} %")
         print(f"> Tail movements    = {pct(c['acc_tail'], c['try_stag']):7.2f} %")
+        if cfg.smart_mc > 0:
+            print(f"> MALA movements    = {pct(c['acc_mala'], c['try_mala']):7.2f} %")
         if cfg.CWorm > 0:
             print("# Acceptance of off-diagonal movements:")
             print(f"> CM movements      = {pct(c['acc_cm_half'], c['try_cm_half']):7.2f} %")

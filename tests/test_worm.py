@@ -111,3 +111,62 @@ def test_bisection_he4_acceptance():
         rate = c[_CIDX[mv]] / tries
         assert rate > 0.05, f"{mv} acceptance collapsed: {rate:.4f}"
     assert c[_CIDX["acc_cm"]] / c[_CIDX["try_cm"]] > 0.05
+
+
+def test_ideal_gas_obdm_flat_at_unity():
+    """QUANTITATIVE worm-sector validation (ideal Bose gas exact limit).
+
+    With V = 0 and u = 0 the ground state is the zero-momentum condensate:
+    the one-body density matrix is exactly n(r) = rho, i.e. the reference-
+    normalized OBDM profile (NormalizeNr, sample_mod.f90:706-732) must be
+    FLAT and equal to 1 at every r.  Any wrong sign/factor in the open/close
+    acceptance (CWorm*density term, broken-link DeltaK, half-weights) tilts
+    or rescales this profile — this certifies the hand-derived worm weights
+    end to end, including the super-block normalization (vpi.f90:522-539).
+    """
+    import tempfile
+
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    cfg = SimConfig(dim=3, Np=8, density=0.3, dt=0.05, Nb=6, sampling="sta",
+                    Lstag=4, Nstag=1, CMFreq=1, delta_cm=0.4, Rm=1.2,
+                    swapping=True, CWorm=0.5, Nobdm=5, Npw=0, Nbin=10,
+                    n_walkers=64, dtype="float64", potential="none",
+                    jastrow="none", seed=13, Nstep=25, Nblock=8)
+    with tempfile.TemporaryDirectory() as td:
+        drv = Driver(cfg, out_dir=td, verbose=False)
+        acc = drv.run()
+    # super-block flushes are rarer than blocks by construction
+    # (vpi.f90:522 fires only once idiag_aux >= Nstep walker-steps)
+    assert 1 <= acc["obdm_bl"] < 8
+    avn = acc["AvNr"][0] / acc["obdm_bl"]
+    # interior bins (first bin has tiny shell volume => large noise)
+    inner = avn[1:9]
+    assert inner.min() > 0, f"empty OBDM bins: {avn}"
+    # flat: every bin within 20% of the mean; unity: mean within 12% of 1
+    # (measured at these settings: [0.94..1.05], plateau 1.00; the residual
+    # spread is statistical — see docs/VALIDATION.md)
+    mean = inner.mean()
+    assert np.all(np.abs(inner / mean - 1.0) < 0.20), f"n(r) not flat: {avn}"
+    assert abs(mean - 1.0) < 0.12, f"n(r) plateau {mean} != 1"
+
+
+def test_ideal_gas_permutation_cycles_sampled():
+    """Swap updates must build multi-particle cycles in the ideal gas (free
+    bosons exchange freely); the cycle-length histogram has weight beyond
+    length 1 and decays toward the maximum length."""
+    import tempfile
+
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    cfg = SimConfig(dim=3, Np=4, density=0.3, dt=0.05, Nb=6, sampling="sta",
+                    Lstag=4, Nstag=1, CMFreq=1, delta_cm=0.4, Rm=1.2,
+                    swapping=True, CWorm=0.5, Nobdm=5, Npw=0, Nbin=10,
+                    n_walkers=64, dtype="float64", potential="none",
+                    jastrow="none", seed=12, Nstep=25, Nblock=2)
+    with tempfile.TemporaryDirectory() as td:
+        drv = Driver(cfg, out_dir=td, verbose=False)
+        acc = drv.run()
+    ph = acc["perm_hist"]
+    assert ph.sum() > 0
+    assert ph[1:].sum() > 0, "no multi-particle permutation cycles sampled"
