@@ -91,6 +91,23 @@ class SimConfig:
     smart_mc: float = 0.0        # MALA step size eps (>0 adds one gradient-
                                  # drifted whole-path move per step to
                                  # diagonal walkers; see ops/smartmc.py)
+    fused_sweep: bool = True     # composite diagonal sweep: head+tail
+                                 # bisections merged per particle and K
+                                 # disjoint interior windows moved at once
+                                 # (ops/bisection.py fused kernels; ~2-3x
+                                 # fewer sequential launches; False = the
+                                 # reference's per-particle move order)
+    end_regrow: str = "bis"      # fused end-move family: "bis" = per-level
+                                 # bisection (reference-like multilevel
+                                 # filter), "sta" = one-shot staging bridge
+                                 # (fewest sequential kernels; same proposal
+                                 # distribution at full window)
+    exact_f2: bool = False       # exact Chin F^2 in move acceptances (the
+                                 # reference tracks only the moved particle's
+                                 # |F_ip|^2, vpi_mod.f90:2825 — a
+                                 # non-conservative Delta-S that distorts the
+                                 # sampled measure; see ops/pairwise.delta_pot
+                                 # and docs/VALIDATION.md)
     shared_windows: bool = True  # one window offset per move site shared by
                                  # all walkers (exact kernel mixture, ~10x
                                  # faster; see ops.moves._window_start).

@@ -275,9 +275,10 @@ class Driver:
         # acceptance-collapse alarm (debug subsystem, SURVEY.md §5): a dead
         # move class signals a broken action/step size (cf. the r1
         # bisection-acceptance regression)
+        n_int_trials = "try_int" if c.get("try_int", 0) > 0 else "try_stag"
         for trial, accepted, label in (
                 ("try_cm", "acc_cm", "CM"),
-                ("try_stag", "acc_bd", "staging/bisection"),
+                (n_int_trials, "acc_bd", "staging/bisection"),
                 ("try_stag", "acc_head", "head"),
                 ("try_stag", "acc_tail", "tail")):
             if c[trial] >= 1000 and c[accepted] < 0.005 * c[trial]:
@@ -306,7 +307,9 @@ class Driver:
             print(f"  > <Vt> = {blk['AvVt']/Np: .8g} +/- {blk['VarVt']/Np:.3g}")
         print("# Acceptance of diagonal movements:")
         print(f"> CM movements      = {pct(c['acc_cm'], c['try_cm']):7.2f} %")
-        print(f"> Staging movements = {pct(c['acc_bd'], c['try_stag']):7.2f} %")
+        # fused sweep counts interior-window tries separately (try_int)
+        n_int = c["try_int"] if c.get("try_int", 0) > 0 else c["try_stag"]
+        print(f"> Staging movements = {pct(c['acc_bd'], n_int):7.2f} %")
         print(f"> Head movements    = {pct(c['acc_head'], c['try_stag']):7.2f} %")
         print(f"> Tail movements    = {pct(c['acc_tail'], c['try_stag']):7.2f} %")
         if cfg.smart_mc > 0:

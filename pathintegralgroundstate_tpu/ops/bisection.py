@@ -29,7 +29,7 @@ from jax import lax
 from ..system import System, Tables
 from .moves import _mi, _window_start, _wrap_pos, get_chain, metropolis, \
     set_chain, _slice_beads, _update_beads
-from .pairwise import delta_action, delta_action_level
+from .pairwise import delta_action, delta_action_level, delta_pot
 
 
 def _level_midpoints_static(system: System, tables: Tables, key, seg, R_seg,
@@ -164,6 +164,203 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
         for d in range(2, level + 1)
     ]
     return lax.switch(nlev, branches, (k_body, paths, ip, active))
+
+
+# ---------------------------------------------------------------------------
+# Fused composite moves (TPU perf: fewer, larger sequential kernels)
+# ---------------------------------------------------------------------------
+#
+# The reference applies MoveHeadBisection, MoveTailBisection and Bisection
+# back-to-back per particle (vpi.f90:431-435) — ~14 dependent pair-kernel
+# launches per particle per Nstag iteration, which on TPU is launch/overhead
+# bound at ~20% of the fused kernels' standalone pair throughput.  The
+# composites below cut the sequential depth ~2-3x by exploiting a structural
+# fact of the action: two single-particle window moves are INDEPENDENT
+# (their joint proposal + independent Metropolis accepts form a valid
+# product kernel) whenever their displaced bead sets have no direct action
+# coupling — pair terms act at EQUAL bead index and spring terms between
+# ADJACENT beads of the SAME particle, so it suffices that
+#   * displaced sets of different particles are disjoint in bead index, and
+#   * displaced sets of the same particle are disjoint and non-adjacent.
+# Under these conditions the action splits as S = S_A(A, C) + S_B(B, C) +
+# S_0(C) over the two displaced blocks A, B and the frozen rest C, the
+# target conditional factorizes, and simultaneous independent
+# Metropolis-accepted proposals of A and B leave it invariant (the same
+# argument as the SP product kernel, parallel/beadshard.py).  Invariance is
+# tested per composite in tests/test_invariance.py.
+
+
+def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
+                         active, level: int):
+    """MoveHeadBisection + MoveTailBisection of one particle as ONE
+    composite update (valid: head displaces beads 0..2**level-1, tail
+    M-2**level..M-1 — disjoint and non-adjacent when 2**(level+1) < M-1,
+    which the caller must guarantee).
+
+    Per level, the head and tail midpoints are evaluated in a single
+    batched pair kernel (rows doubled), halving the sequential kernel count
+    of the two end moves.  Returns (paths, acc_head[W], acc_tail[W]).
+    """
+    cfg = system.cfg
+    M = system.M
+    dt = cfg.dt
+    W = paths.shape[0]
+    L = 2 ** level
+    k_g, k_acc0, *k_lev = jax.random.split(key, level + 3)
+
+    chain = get_chain(paths, ip)
+    # both segments in 'head orientation': index 0 = regrown end
+    seg0 = jnp.stack([chain[:, : L + 1], chain[:, M - 1 - L:][:, ::-1]],
+                     axis=1)                                  # [W, 2, L+1, D]
+    dtype = seg0.dtype
+
+    # free-gaussian end guesses with their own accept gate
+    # (vpi_mod.f90:1039-1076), both ends at once
+    xold0 = seg0[:, :, 0]                                     # [W, 2, D]
+    anchor = seg0[:, :, L]
+    g = jax.random.normal(k_g, xold0.shape, dtype)
+    xmid = xold0 - _mi(system, xold0 - anchor)
+    xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g)
+    R_ends = jnp.stack([paths[:, 0], paths[:, M - 1]], axis=1)  # [W, 2, N, D]
+    ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
+    dS0 = delta_action(system, tables, R_ends, xnew0, xold0, ip, ib_ends)
+    alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
+    seg = seg0.at[:, :, 0].set(xnew0)
+
+    for ilev in range(1, level + 1):
+        delta = 2 ** (level - ilev + 1)
+        j = jnp.arange(1, 2 ** (ilev - 1) + 1)
+        iprev = (j - 1) * delta
+        inext = j * delta
+        icurr = (iprev + inext) // 2
+        nmid = icurr.shape[0]
+        odd_level = ilev == level  # M-1 even => tail parity == head parity
+
+        xold = seg[:, :, icurr]                                # [W, 2, m, D]
+        xp = seg[:, :, iprev]
+        xn = seg[:, :, inext]
+        gl = jax.random.normal(k_lev[ilev - 1], xold.shape, dtype)
+        sigma = jnp.sqrt(0.25 * delta * dt)
+        xprev = xold + _mi(system, xp - xold)
+        xnext = xold - _mi(system, xold - xn)
+        xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * gl)
+
+        # one batched pair kernel over BOTH segments' midpoints
+        R_mid = jnp.concatenate(
+            [paths[:, icurr], paths[:, M - 1 - icurr]], axis=1)
+        dpot, df2 = delta_pot(
+            system, tables, R_mid,
+            xnew.reshape(W, 2 * nmid, -1), xold.reshape(W, 2 * nmid, -1),
+            ip, with_force=odd_level)
+        if odd_level:
+            dS = jnp.sum(((4.0 * dt / 3.0) * dpot
+                          + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, 2, nmid),
+                         axis=-1)
+        else:
+            dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, 2, nmid),
+                         axis=-1)
+        alive = alive & metropolis(
+            jax.random.fold_in(k_lev[-1], ilev), dS)
+        seg = seg.at[:, :, icurr].set(xnew)
+
+    seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
+    chain = chain.at[:, : L + 1].set(seg_fin[:, 0])
+    chain = chain.at[:, M - 1 - L:].set(seg_fin[:, 1, ::-1])
+    return set_chain(paths, ip, chain), alive[:, 0], alive[:, 1]
+
+
+def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
+                    level: int):
+    """Interior multilevel bisections of K DISTINCT particles as one
+    composite update.
+
+    ips: length-K sequence of (traced) particle indices, pairwise distinct.
+    Slot k regrows the window of L = 2**level links starting at bead
+    s + k*L, with one random even shift s shared by all slots; slot
+    interiors are disjoint in bead index, so the K simultaneous Metropolis
+    decisions compose into a valid product kernel (see module note above).
+    The union of slot-k starts over shifts is every even start in
+    [0, M-1-L] — the same support as the sequential kernel's window mixture
+    (_window_start), restoring full bead coverage.
+
+    active: [W] or [W, K] per-slot activity mask.
+    Returns (paths, acc[W, K]).
+    """
+    cfg = system.cfg
+    M = system.M
+    dt = cfg.dt
+    W = paths.shape[0]
+    L = 2 ** level
+    K = len(ips)
+    span = K * L
+    assert span <= M - 1, f"K={K} slots of {L} links exceed {M - 1} links"
+    keys = jax.random.split(key, level + 2)
+
+    active = jnp.asarray(active)
+    if active.ndim == 1:
+        active = jnp.broadcast_to(active[:, None], (W, K))
+
+    n_shift = (M - 1 - span) // 2 + 1
+    s = 2 * jax.random.randint(keys[0], (), 0, n_shift, dtype=jnp.int32)
+    R_big = lax.dynamic_slice_in_dim(paths, s, span + 1, axis=1)
+    dtype = paths.dtype
+
+    ips_arr = [jnp.asarray(p, jnp.int32) for p in ips]
+    # slot segments: particle ips[k]'s beads [kL .. (k+1)L] (static within
+    # R_big) -> [W, K, L+1, D]
+    seg0 = jnp.stack(
+        [R_big[:, k * L: (k + 1) * L + 1, ips_arr[k], :] for k in range(K)],
+        axis=1)
+    seg = seg0
+    alive = active
+
+    for ilev in range(1, level + 1):
+        delta = 2 ** (level - ilev + 1)
+        j = jnp.arange(1, 2 ** (ilev - 1) + 1)
+        iprev = (j - 1) * delta
+        inext = j * delta
+        icurr = (iprev + inext) // 2
+        nmid = icurr.shape[0]
+        odd_level = ilev == level
+
+        xold = seg[:, :, icurr]                                # [W, K, m, D]
+        xp = seg[:, :, iprev]
+        xn = seg[:, :, inext]
+        gl = jax.random.normal(keys[ilev], xold.shape, dtype)
+        sigma = jnp.sqrt(0.25 * delta * dt)
+        xprev = xold + _mi(system, xp - xold)
+        xnext = xold - _mi(system, xold - xn)
+        xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * gl)
+
+        # one pair kernel over all K slots' midpoints; per-row particle ids
+        idx = jnp.concatenate([k * L + icurr for k in range(K)])
+        R_mid = R_big[:, idx]                                  # [W, K*m, N, D]
+        ip_rows = jnp.broadcast_to(
+            jnp.stack(ips_arr)[None, :, None], (W, K, nmid)
+        ).reshape(W, K * nmid)
+        dpot, df2 = delta_pot(
+            system, tables, R_mid,
+            xnew.reshape(W, K * nmid, -1), xold.reshape(W, K * nmid, -1),
+            ip_rows, with_force=odd_level)
+        if odd_level:
+            dS = jnp.sum(((4.0 * dt / 3.0) * dpot
+                          + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, K, nmid),
+                         axis=-1)
+        else:
+            dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, K, nmid),
+                         axis=-1)
+        alive = alive & metropolis(
+            jax.random.fold_in(keys[-1], ilev), dS)
+        seg = seg.at[:, :, icurr].set(xnew)
+
+    seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
+    # write back each slot's interior beads into its particle's worldline
+    for k in range(K):
+        upd = seg_fin[:, k, 1:L, None, :]                   # [W, L-1, 1, D]
+        paths = lax.dynamic_update_slice(
+            paths, upd.astype(paths.dtype),
+            (jnp.int32(0), s + k * L + 1, ips_arr[k], jnp.int32(0)))
+    return paths, alive
 
 
 def move_head_bisection(system, tables, key, paths, ip, active, level: int):

@@ -437,6 +437,49 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     return set_chain(paths, ip, chain), acc
 
 
+def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
+                       active, Lmax: int):
+    """MoveHead + MoveTail of one particle as ONE composite update.
+
+    The two end windows (beads 0..Lmax-1 and M-Lmax..M-1) are disjoint and
+    non-adjacent whenever 2*Lmax < M-1 (caller-guaranteed), so the action
+    has no direct coupling between their displaced coordinates and the
+    joint proposal with independent Metropolis accepts is a valid product
+    kernel (see ops/bisection.py fused-composite note; invariance-tested in
+    tests/test_invariance.py).
+
+    Implementation: the tail segment is bead-reversed into head orientation
+    and stacked along the walker axis, so ONE ensemble-doubled
+    segment_regrow call (one bridge matmul + one batched window Delta-S)
+    regrows both ends — ~2x fewer sequential pair kernels than running the
+    two moves back-to-back, with twice the rows per kernel.
+
+    Returns (paths, acc_head[W], acc_tail[W]).
+    """
+    M = system.M
+    W = paths.shape[0]
+    k_ls, k_reg, k_acc = jax.random.split(key, 3)
+    Ls = _rand_ls(k_ls, 2 * W, Lmax)  # independent head/tail lengths
+    chain = get_chain(paths, ip)
+    seg = jnp.concatenate(
+        [chain[:, : Lmax + 1], chain[:, M - 1 - Lmax:][:, ::-1]], axis=0)
+    R_seg = jnp.concatenate(
+        [paths[:, : Lmax + 1], paths[:, M - 1 - Lmax:][:, ::-1]], axis=0)
+    ib_seg = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1)),
+        jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1), (W, Lmax + 1)),
+    ], axis=0)
+    # both orientations start on even beads (0 and M-1 = 2*Nb)
+    seg_new, dS0, dSr = segment_regrow(
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+        start_parity=0)
+    acc2 = metropolis(k_acc, dS0 + dSr) & jnp.concatenate([active, active])
+    seg_fin = jnp.where(acc2[:, None, None], seg_new, seg)
+    chain = chain.at[:, : Lmax + 1].set(seg_fin[:W])
+    chain = chain.at[:, M - 1 - Lmax:].set(seg_fin[W:, ::-1])
+    return set_chain(paths, ip, chain), acc2[:W], acc2[W:]
+
+
 def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
                          ip, half: int, active, Lmax: int):
     """MoveHeadHalfChain (vpi_mod.f90:1495-1656): half=1 regrows from bead 0,

@@ -38,13 +38,19 @@ from ..utils.pbc import minimum_image
 def _self_mask(R, ip):
     """notself mask broadcastable against [..., B, N] pair arrays.
 
-    ip may be a scalar (one particle for the whole batch) or a [W] array
-    (per-walker particle, e.g. the worm); R is [..., N, D]."""
+    ip may be a scalar (one particle for the whole batch), a [W] array
+    (per-walker particle, e.g. the worm), or a [W, B] array (per-row
+    particle — the fused multi-particle moves, ops/bisection.bisection_multi,
+    where different window rows belong to different particles);
+    R is [..., B, N, D]."""
     N = R.shape[-2]
     iota = jnp.arange(N)
     ip = jnp.asarray(ip)
     if ip.ndim == 0:
         return iota != ip  # [N]
+    if ip.ndim == 2:
+        # [W, B] -> [W, B, N]
+        return iota[None, None, :] != ip[:, :, None]
     # [W] -> [W, 1, N] against [W, B, N]
     return iota[None, None, :] != ip[:, None, None]
 
@@ -108,6 +114,27 @@ def delta_pot(system: System, tables: Tables, R, xnew, xold, ip,
     Returns (dPot[B], dF2[B]); dF2 is zeros when with_force=False.
     """
     geo, cfg = system.geo, system.cfg
+
+    if with_force and cfg.exact_f2:
+        # EXACT Chin F^2 (deviation from the reference — vpi_mod.f90:2825
+        # tracks only the MOVED particle's |F_ip|^2 change, omitting the
+        # partners' force changes; that Delta-S is not the difference of any
+        # state function, so the reference samples a move-mix-dependent
+        # distortion of the Chin measure — measured at ~0.5 K/atom on the
+        # He-4 flagship, see docs/VALIDATION.md).  Here: brute-force
+        # difference of the full force field F^2 = sum_i |F_i|^2 between the
+        # proposed and current configurations.  O(N^2 B) per move — the
+        # validation/reference-quality path; production uses the same
+        # semantics at O(N B) via the incremental force-field cache when
+        # available.
+        dpot, _ = delta_pot(system, tables, R, xnew, xold, ip,
+                            with_force=False)
+        notself = _self_mask(R, ip)
+        sel = ~notself[..., None]                       # [..., B, N, 1]
+        Rn = jnp.where(sel, xnew[..., None, :], R)
+        _, f2n = pair_pot(system, tables, Rn, with_force=True)
+        _, f2o = pair_pot(system, tables, R, with_force=True)
+        return dpot, f2n - f2o
 
     if cfg.use_pallas and jnp.ndim(R) == 4:
         from .pallas_kernels import pallas_ok, pair_delta_pallas

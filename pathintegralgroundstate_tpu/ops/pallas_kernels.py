@@ -212,6 +212,8 @@ def _ip_rows(ip, W, B, rows, rows_p):
     ip = jnp.asarray(ip, jnp.int32)
     if ip.ndim == 0:
         ip_row = jnp.full((1, rows), ip, jnp.int32)
+    elif ip.ndim == 2:  # [W, B] per-row particle (fused multi-particle moves)
+        ip_row = ip.reshape(1, rows)
     else:
         ip_row = jnp.broadcast_to(ip[:, None], (W, B)).reshape(1, rows)
     if rows_p != rows:

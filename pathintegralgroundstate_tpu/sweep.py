@@ -60,7 +60,7 @@ COUNTER_NAMES = (
     "try_cm_half", "acc_cm_half", "try_stag_half", "acc_bd_half",
     "acc_head_half", "acc_tail_half",
     "try_open", "acc_open", "try_close", "acc_close", "try_swap", "acc_swap",
-    "try_mala", "acc_mala",
+    "try_mala", "acc_mala", "try_int",
 )
 _CIDX = {n: i for i, n in enumerate(COUNTER_NAMES)}
 
@@ -128,6 +128,19 @@ class Sweeper:
         self.Lstag = cfg.Lstag
         self.Nlev = cfg.Nlev
         self.use_bisection = cfg.sampling == "bis"
+
+        # fused composite sweep (ops/bisection.py fused kernels): gated on
+        # the geometric validity conditions — head/tail windows disjoint and
+        # non-adjacent, and the interior slot span fitting the chain
+        Lwin = 2 ** cfg.Nlev
+        self.fused_diag = (cfg.fused_sweep and self.use_bisection
+                           and not cfg.bis_end_random_depth
+                           and 2 * Lwin < system.M - 1)
+        self.K_int = (min(max(1, (system.M - 1 - Lwin) // Lwin), cfg.Np)
+                      if self.fused_diag else 1)
+        self.v_fused_ends = partial(bis.fused_end_bisections, s, t)
+        self.v_fused_ends_sta = partial(mv.fused_end_stagings, s, t)
+        self.v_bis_multi = partial(bis.bisection_multi, s, t)
 
     # -- key plumbing -------------------------------------------------------
 
@@ -239,7 +252,55 @@ class Sweeper:
             ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc_b))
             return paths, ctr
 
-        if cfg.Nstag > 0:
+        if cfg.Nstag > 0 and self.fused_diag:
+            # composite sweep: (a) head+tail of each particle merged into
+            # one two-window kernel; (b) K disjoint interior windows moved
+            # at once for K distinct particles — same stationary
+            # distribution (product-kernel argument, ops/bisection.py),
+            # ~2-3x fewer sequential pair-kernel launches per step
+            def end_body(it, carry):
+                paths, ctr = carry
+                ip = it % Np
+                active = ~isopen | (iworm != ip)
+                if cfg.end_regrow == "sta":
+                    paths, acc_h, acc_t = self.v_fused_ends_sta(
+                        self._mk_t(k_step, 20, it), paths, ip, active,
+                        2 ** self.Nlev)
+                else:
+                    paths, acc_h, acc_t = self.v_fused_ends(
+                        self._mk_t(k_step, 20, it), paths, ip, active,
+                        self.Nlev)
+                ctr = ctr.at[_CIDX["try_stag"]].add(_i32sum(active))
+                ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
+                ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
+                return paths, ctr
+
+            paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, end_body,
+                                       (paths, ctr))
+
+            K = self.K_int
+            ngroups = -(-Np // K)  # ceil: every particle >= 1 interior move
+
+            def int_body(it, carry):
+                paths, ctr = carry
+                kk = self._mk_t(k_step, 23, it)
+                # rotate the particle->slot assignment so every particle
+                # sees every slot (and thus every window position) over
+                # iterations; modulo wrap keeps the K indices distinct
+                off = jax.random.randint(jax.random.fold_in(kk, 0), (),
+                                         0, Np, dtype=jnp.int32)
+                ips = [(it * K + k + off) % Np for k in range(K)]
+                act = jnp.stack(
+                    [~isopen | (iworm != p) for p in ips], axis=1)
+                paths, acc = self.v_bis_multi(
+                    jax.random.fold_in(kk, 1), paths, ips, act, self.Nlev)
+                ctr = ctr.at[_CIDX["try_int"]].add(_i32sum(act))
+                ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc))
+                return paths, ctr
+
+            paths, ctr = lax.fori_loop(0, cfg.Nstag * ngroups, int_body,
+                                       (paths, ctr))
+        elif cfg.Nstag > 0:
             paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body,
                                        (paths, ctr))
 

@@ -180,6 +180,59 @@ def test_tail_bisection_invariance(setup):
     _check_invariant(x, Sigma, beads=[2 * NB, 2 * NB - 2, NB])
 
 
+def test_fused_end_bisections_invariance(setup):
+    """Composite head+tail bisection (ops/bisection.fused_end_bisections):
+    the two end windows are disjoint and non-adjacent, so the merged
+    product kernel must preserve the path measure exactly like the
+    sequential pair of moves."""
+    system, tables, paths0, Sigma = setup
+    fn = lambda k, p: bis.fused_end_bisections(
+        system, tables, k, p, 0, ACTIVE, 2)[:2]
+    x = _iterate(fn, paths0, jax.random.key(108))
+    _check_invariant(x, Sigma, beads=[0, 2, NB, 2 * NB - 2, 2 * NB])
+
+
+def test_fused_end_stagings_invariance(setup):
+    """Composite head+tail staging (ops/moves.fused_end_stagings): one
+    ensemble-doubled bridge regrow of both disjoint end windows."""
+    system, tables, paths0, Sigma = setup
+    fn = lambda k, p: mv.fused_end_stagings(
+        system, tables, k, p, 0, ACTIVE, 8)[:2]
+    x = _iterate(fn, paths0, jax.random.key(110))
+    _check_invariant(x, Sigma, beads=[0, 2, NB, 2 * NB - 2, 2 * NB])
+
+
+def test_bisection_multi_invariance():
+    """Composite K-particle interior bisection (bisection_multi): three
+    non-interacting particles (jastrow='none', no pair potential) moved in
+    disjoint window slots at once; each particle's Gaussian path measure
+    must remain invariant."""
+    cfg = _cfg(Np=3, jastrow="none")
+    system = make_system(cfg)
+    tables = make_tables(system)
+    M = system.M
+    rng_seeds = [71, 72, 73]
+    x = np.stack([_exact_samples(M, DT, W, seed=sd) for sd in rng_seeds],
+                 axis=2)                                   # [W, M, 3]
+    paths0 = jnp.asarray(x)[:, :, :, None]                 # [W, M, 3, 1]
+    Sigma = np.linalg.inv(_precision_matrix(M, DT))
+
+    def fn(k, p):
+        p, acc = bis.bisection_multi(system, tables, k, p, [0, 1, 2],
+                                     ACTIVE, 2)
+        return p, acc
+
+    def body(paths, k):
+        paths, _ = fn(k, paths)
+        return paths, None
+
+    keys = jax.random.split(jax.random.key(109), NITER)
+    run = jax.jit(lambda p: jax.lax.scan(body, p, keys)[0])
+    x_fin = np.asarray(run(paths0))[:, :, :, 0]            # [W, M, 3]
+    for n in range(3):
+        _check_invariant(x_fin[:, :, n], Sigma, beads=[2, NB, 2 * NB - 2])
+
+
 def test_mala_invariance(setup):
     """Smart-MC (ops/smartmc.py): the gradient-drifted MALA kernel targets
     exp(-total_action) — exactly the Gaussian measure above — and must leave
