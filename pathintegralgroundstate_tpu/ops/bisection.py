@@ -29,7 +29,8 @@ from jax import lax
 from ..system import System, Tables
 from .moves import _mi, _window_start, _wrap_pos, get_chain, metropolis, \
     set_chain, _slice_beads, _update_beads
-from .pairwise import delta_action, delta_action_level, delta_pot
+from .pairwise import delta_action, delta_action_level, delta_pot, \
+    delta_pot_cached
 
 
 def _level_midpoints_static(system: System, tables: Tables, key, seg, R_seg,
@@ -191,7 +192,7 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
 
 
 def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
-                         active, level: int):
+                         active, level: int, fodd=None):
     """MoveHeadBisection + MoveTailBisection of one particle as ONE
     composite update (valid: head displaces beads 0..2**level-1, tail
     M-2**level..M-1 — disjoint and non-adjacent when 2**(level+1) < M-1,
@@ -223,7 +224,8 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g)
     R_ends = jnp.stack([paths[:, 0], paths[:, M - 1]], axis=1)  # [W, 2, N, D]
     ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
-    dS0 = delta_action(system, tables, R_ends, xnew0, xold0, ip, ib_ends)
+    dS0 = delta_action(system, tables, R_ends, xnew0, xold0, ip, ib_ends,
+                       with_force=False)
     alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
     seg = seg0.at[:, :, 0].set(xnew0)
 
@@ -248,29 +250,51 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         # one batched pair kernel over BOTH segments' midpoints
         R_mid = jnp.concatenate(
             [paths[:, icurr], paths[:, M - 1 - icurr]], axis=1)
-        dpot, df2 = delta_pot(
-            system, tables, R_mid,
-            xnew.reshape(W, 2 * nmid, -1), xold.reshape(W, 2 * nmid, -1),
-            ip, with_force=odd_level)
-        if odd_level:
+        xn2 = xnew.reshape(W, 2 * nmid, -1)
+        xo2 = xold.reshape(W, 2 * nmid, -1)
+        if odd_level and fodd is not None:
+            # finest level = the odd beads: exact F^2 via the cache
+            rows_h = (icurr - 1) // 2                  # beads icurr (odd)
+            rows_t = (M - 1 - icurr - 1) // 2          # beads M-1-icurr
+            fold = jnp.concatenate(
+                [fodd[:, rows_h], fodd[:, rows_t]], axis=1)
+            dpot, df2, dfield = delta_pot_cached(
+                system, tables, R_mid, xn2, xo2, ip, fold)
             dS = jnp.sum(((4.0 * dt / 3.0) * dpot
                           + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, 2, nmid),
                          axis=-1)
+            alive = alive & metropolis(
+                jax.random.fold_in(k_lev[-1], ilev), dS)
+            m2 = alive[:, :, None, None, None]         # [W, 2, 1, 1, 1]
+            dfw = jnp.where(m2, dfield.reshape(W, 2, nmid, *dfield.shape[2:]),
+                            0.0)
+            fodd = fodd.at[:, rows_h].add(dfw[:, 0])
+            fodd = fodd.at[:, rows_t].add(dfw[:, 1])
         else:
-            dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, 2, nmid),
-                         axis=-1)
-        alive = alive & metropolis(
-            jax.random.fold_in(k_lev[-1], ilev), dS)
+            dpot, df2 = delta_pot(system, tables, R_mid, xn2, xo2,
+                                  ip, with_force=odd_level)
+            if odd_level:
+                dS = jnp.sum(((4.0 * dt / 3.0) * dpot
+                              + (2.0 * dt ** 3 / 9.0) * df2
+                              ).reshape(W, 2, nmid), axis=-1)
+            else:
+                dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, 2, nmid),
+                             axis=-1)
+            alive = alive & metropolis(
+                jax.random.fold_in(k_lev[-1], ilev), dS)
         seg = seg.at[:, :, icurr].set(xnew)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
     chain = chain.at[:, : L + 1].set(seg_fin[:, 0])
     chain = chain.at[:, M - 1 - L:].set(seg_fin[:, 1, ::-1])
-    return set_chain(paths, ip, chain), alive[:, 0], alive[:, 1]
+    paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        return paths, fodd, alive[:, 0], alive[:, 1]
+    return paths, alive[:, 0], alive[:, 1]
 
 
 def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
-                    level: int):
+                    level: int, fodd=None):
     """Interior multilevel bisections of K DISTINCT particles as one
     composite update.
 
@@ -338,19 +362,42 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
         ip_rows = jnp.broadcast_to(
             jnp.stack(ips_arr)[None, :, None], (W, K, nmid)
         ).reshape(W, K * nmid)
-        dpot, df2 = delta_pot(
-            system, tables, R_mid,
-            xnew.reshape(W, K * nmid, -1), xold.reshape(W, K * nmid, -1),
-            ip_rows, with_force=odd_level)
-        if odd_level:
+        xn2 = xnew.reshape(W, K * nmid, -1)
+        xo2 = xold.reshape(W, K * nmid, -1)
+        if odd_level and fodd is not None:
+            # the K slots' finest-level (odd) beads are one contiguous
+            # cache-row block starting at s//2 (slot k rows at offset
+            # k*L//2), in exactly idx order
+            f_rows = lax.dynamic_slice_in_dim(fodd, s // 2, K * L // 2,
+                                              axis=1)
+            # within the block, slot k's midpoints sit at static offsets
+            fold = f_rows[:, (idx - 1) // 2]
+            dpot, df2, dfield = delta_pot_cached(
+                system, tables, R_mid, xn2, xo2, ip_rows, fold)
             dS = jnp.sum(((4.0 * dt / 3.0) * dpot
                           + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, K, nmid),
                          axis=-1)
+            alive = alive & metropolis(
+                jax.random.fold_in(keys[-1], ilev), dS)
+            mK = alive[:, :, None, None, None]
+            dfw = jnp.where(mK, dfield.reshape(W, K, nmid,
+                                               *dfield.shape[2:]), 0.0)
+            f_rows = f_rows.at[:, (idx - 1) // 2].add(
+                dfw.reshape(W, K * nmid, *dfield.shape[2:]))
+            fodd = lax.dynamic_update_slice_in_dim(fodd, f_rows, s // 2,
+                                                   axis=1)
         else:
-            dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, K, nmid),
-                         axis=-1)
-        alive = alive & metropolis(
-            jax.random.fold_in(keys[-1], ilev), dS)
+            dpot, df2 = delta_pot(system, tables, R_mid, xn2, xo2,
+                                  ip_rows, with_force=odd_level)
+            if odd_level:
+                dS = jnp.sum(((4.0 * dt / 3.0) * dpot
+                              + (2.0 * dt ** 3 / 9.0) * df2
+                              ).reshape(W, K, nmid), axis=-1)
+            else:
+                dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, K, nmid),
+                             axis=-1)
+            alive = alive & metropolis(
+                jax.random.fold_in(keys[-1], ilev), dS)
         seg = seg.at[:, :, icurr].set(xnew)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
@@ -360,6 +407,8 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
         paths = lax.dynamic_update_slice(
             paths, upd.astype(paths.dtype),
             (jnp.int32(0), s + k * L + 1, ips_arr[k], jnp.int32(0)))
+    if fodd is not None:
+        return paths, fodd, alive
     return paths, alive
 
 

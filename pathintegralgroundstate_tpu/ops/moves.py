@@ -183,7 +183,7 @@ def _bridge_tables(Lmax: int, dt: float):
 
 def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
                    ip, Ls, first_mode: str, first_w, first_pos=None,
-                   start_parity=None, fixed_L=None):
+                   start_parity=None, fixed_L=None, fold=None):
     """Regrow path segments in 'head orientation', whole ensemble at once.
 
     seg:    [W, Lb+1, D] bead positions (index 0 = the end being regrown,
@@ -233,9 +233,11 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
     if first_mode == "fixed":
         dS_first = jnp.zeros((W,), dtype)
     else:
+        # the regrown first bead is always a chain end or the worm center —
+        # never an odd interior bead — so its F^2 weight is zero
         dS_first = first_w * jnp.sum(delta_action(
             system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
-            ip, ib_seg[..., :1]), axis=-1)
+            ip, ib_seg[..., :1], with_force=False), axis=-1)
 
     # staging reconstruction of beads 1..Ls-1
     xolds = seg[:, 1:Lb]  # [W, Lb-1, D]
@@ -280,12 +282,15 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
         xnews = xnews.swapaxes(0, 1)  # [W, Lb-1, D]
 
     rest_parity = None if start_parity is None else (start_parity + 1) % 2
-    dS_rest = delta_action_sum(
+    out = delta_action_sum(
         system, tables, R_seg[:, 1:Lb], xnews, xolds, ip, ib_seg[..., 1:Lb],
-        start_parity=rest_parity)
+        start_parity=rest_parity, fold=fold)
 
     seg_new = seg.at[:, 0].set(xnew0).at[:, 1:Lb].set(xnews)
-    return seg_new, dS_first, dS_rest
+    if fold is not None:
+        dS_rest, dfield = out
+        return seg_new, dS_first, dS_rest, dfield
+    return seg_new, dS_first, out
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +298,12 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
 # ---------------------------------------------------------------------------
 
 def translate_chain(system: System, tables: Tables, key, paths, ip, active,
-                    delta):
-    """Rigid CM displacement of one particle's whole worldline (ensemble)."""
+                    delta, fodd=None):
+    """Rigid CM displacement of one particle's whole worldline (ensemble).
+
+    fodd [W, Nb, N, D] (optional): force-field cache at the odd beads —
+    routes the F^2 part of the acceptance through the exact cached form and
+    returns the updated cache (see ops/pairwise.delta_pot_cached)."""
     M = system.M
     W = paths.shape[0]
     D = system.cfg.dim
@@ -303,11 +312,19 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
     chain = get_chain(paths, ip)                     # [W, M, D]
     xnew = _wrap_pos(system, chain + dx)
     ib = jnp.broadcast_to(jnp.arange(M), (W, M))
-    dS = delta_action_sum(system, tables, paths, xnew, chain, ip, ib,
-                          start_parity=0)
-    acc = metropolis(k_acc, dS) & active
+    out = delta_action_sum(system, tables, paths, xnew, chain, ip, ib,
+                           start_parity=0, fold=fodd)
+    if fodd is not None:
+        dS, dfield = out  # odd rows of the whole chain = every cache row
+        acc = metropolis(k_acc, dS) & active
+        fodd = fodd + jnp.where(acc[:, None, None, None], dfield, 0.0)
+    else:
+        acc = metropolis(k_acc, out) & active
     chain_new = jnp.where(acc[:, None, None], xnew, chain)
-    return set_chain(paths, ip, chain_new), acc
+    paths = set_chain(paths, ip, chain_new)
+    if fodd is not None:
+        return paths, fodd, acc
+    return paths, acc
 
 
 def translate_half_chain(system: System, tables: Tables, key, paths, xend,
@@ -438,7 +455,7 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
 
 
 def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
-                       active, Lmax: int):
+                       active, Lmax: int, fodd=None):
     """MoveHead + MoveTail of one particle as ONE composite update.
 
     The two end windows (beads 0..Lmax-1 and M-Lmax..M-1) are disjoint and
@@ -470,14 +487,33 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
         jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1), (W, Lmax + 1)),
     ], axis=0)
     # both orientations start on even beads (0 and M-1 = 2*Nb)
-    seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-        start_parity=0)
+    if fodd is not None:
+        Nb = system.cfg.Nb
+        Lh = Lmax // 2
+        # odd-bead cache rows under each window, in segment order (the tail
+        # segment is bead-reversed, so its odd rows run backwards)
+        fold = jnp.concatenate(
+            [fodd[:, :Lh], fodd[:, Nb - Lh:][:, ::-1]], axis=0)
+        seg_new, dS0, dSr, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+            start_parity=0, fold=fold)
+    else:
+        seg_new, dS0, dSr = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+            start_parity=0)
     acc2 = metropolis(k_acc, dS0 + dSr) & jnp.concatenate([active, active])
     seg_fin = jnp.where(acc2[:, None, None], seg_new, seg)
     chain = chain.at[:, : Lmax + 1].set(seg_fin[:W])
     chain = chain.at[:, M - 1 - Lmax:].set(seg_fin[W:, ::-1])
-    return set_chain(paths, ip, chain), acc2[:W], acc2[W:]
+    paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        mh = (acc2[:W])[:, None, None, None]
+        mt = (acc2[W:])[:, None, None, None]
+        fodd = fodd.at[:, :Lh].add(jnp.where(mh, dfield[:W], 0.0))
+        fodd = fodd.at[:, Nb - Lh:].add(
+            jnp.where(mt, dfield[W:, ::-1], 0.0))
+        return paths, fodd, acc2[:W], acc2[W:]
+    return paths, acc2[:W], acc2[W:]
 
 
 def move_head_half_chain(system: System, tables: Tables, key, paths, xend,

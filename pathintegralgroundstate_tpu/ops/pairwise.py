@@ -102,6 +102,74 @@ def _u_of_r(system: System, tables: Tables, r):
     return system.u(r)
 
 
+def force_field(system: System, tables: Tables, R):
+    """Per-particle total force field F[..., N, D] of configurations
+    R[..., N, D] (pair dV/dr components within rcut + trap gradient) —
+    the quantity whose squared norm enters the Chin action's F^2 term.
+    Matches the reference's force convention F_i = sum_j V'(r_ij)
+    (x_i - x_j)/r_ij (vpi_mod.f90:2733-2743)."""
+    geo, cfg = system.geo, system.cfg
+    N = R.shape[-2]
+    xij = R[..., :, None, :] - R[..., None, :, :]
+    if system.pbc:
+        xij, rij2 = minimum_image(xij, geo.Lbox)
+    else:
+        rij2 = jnp.sum(xij * xij, axis=-1)
+    notself = ~jnp.eye(N, dtype=bool)
+    m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
+    r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
+    fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
+    F = jnp.sum(fr[..., None] * xij, axis=-2)
+    if cfg.trap:
+        F = F + jas.trap_pot_grad(cfg.a_ho, R)
+    return F
+
+
+def delta_pot_cached(system: System, tables: Tables, R, xnew, xold, ip,
+                     fold):
+    """Exact Chin Delta-F^2 at O(N B) per displaced bead via the force-field
+    cache (production form of cfg.exact_f2; the brute-force field difference
+    in delta_pot is the O(N^2 B) validation form).
+
+    fold[..., B, N, D]: current per-particle forces at the displaced beads
+    (rows aligned with R).  Exploits that moving particle ip changes F_ip
+    entirely and every partner j by the single pair component
+    dg_j = f_{j<-ip}^new - f_{j<-ip}^old = -(fr_n dx_n - fr_o dx_o):
+
+        dF^2 = |F_ip^new|^2 - |F_ip^old|^2
+             + sum_j (2 fold_j . dg_j + |dg_j|^2)
+
+    Returns (dpot, df2, dfield) with dfield[..., B, N, D] the per-particle
+    force-field increment of the move (dfield[ip] = F_ip^new - F_ip^old), to
+    be added to the cache for accepted proposals.
+    """
+    geo, cfg = system.geo, system.cfg
+
+    def side(x):
+        notself, rij2, r, xij = _pair_terms(system, x, R, ip)
+        rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
+        m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
+        vv, dv = _v_dv_of_r(system, tables, r, rinv)
+        pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)
+        fpair = jnp.where(m, dv * rinv, 0.0)[..., None] * xij  # [., B, N, D]
+        F = jnp.sum(fpair, axis=-2)                            # [., B, D]
+        if cfg.trap:
+            pot = pot + jas.trap_pot(cfg.a_ho, x)
+            F = F + jas.trap_pot_grad(cfg.a_ho, x)
+        return pot, F, fpair
+
+    pot_n, F_n, fp_n = side(xnew)
+    pot_o, F_o, fp_o = side(xold)
+    dpot = pot_n - pot_o
+    # partner force increments: force ON j from ip is -(pair component)
+    dg = -(fp_n - fp_o)                                        # [., B, N, D]
+    df2 = (jnp.sum(F_n * F_n, axis=-1) - jnp.sum(F_o * F_o, axis=-1)
+           + jnp.sum(2.0 * fold * dg + dg * dg, axis=(-1, -2)))
+    sel = ~_self_mask(R, ip)[..., None]                        # [., B, N, 1]
+    dfield = jnp.where(sel, (F_n - F_o)[..., None, :], dg)
+    return dpot, df2, dfield
+
+
 def delta_pot(system: System, tables: Tables, R, xnew, xold, ip,
               with_force: bool = True):
     """Potential-energy and force-squared deltas for displaced beads.
@@ -200,7 +268,8 @@ def delta_wf(system: System, tables: Tables, R, xnew, xold, ip):
     return side(xnew) - side(xold)
 
 
-def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
+def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib,
+                 with_force: bool = True):
     """Per-bead action delta (UpdateAction, vpi_mod.f90:2491-2530), batched.
 
     dS[B] = -dLogPsi * [ib at either end]
@@ -221,11 +290,16 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
     even_int = interior & (ib % 2 == 0)
     is_end = ~interior
 
-    dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip, with_force=True)
+    # callers whose rows are never odd-interior (chain ends / worm center)
+    # pass with_force=False: the F^2 weight is zero there, and skipping the
+    # force pass keeps cfg.exact_f2's O(N^2) brute branch off those rows
+    dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip,
+                          with_force=with_force)
 
     wv = jnp.where(odd, 4.0 * dt / 3.0,
                    jnp.where(even_int, 2.0 * dt / 3.0, dt / 3.0))
-    wf = jnp.where(odd, (4.0 * dt / 3.0) * dt * dt / 6.0, 0.0)
+    wf = jnp.where(odd, (4.0 * dt / 3.0) * dt * dt / 6.0, 0.0) \
+        if with_force else 0.0
 
     dS = wv * dpot + wf * df2
 
@@ -235,7 +309,7 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib):
 
 
 def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
-                     start_parity: Optional[int] = None):
+                     start_parity: Optional[int] = None, fold=None):
     """Summed window action delta — the optimized hot path.
 
     Exploits three structural facts of the Chin action over a contiguous
@@ -265,16 +339,25 @@ def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
     dtype = xnew.dtype
 
     if B == 1:
+        assert fold is None, "fold requires a multi-bead window (B > 1)"
         return jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib),
                        axis=-1)
 
+    dfield = None
     if start_parity is not None:
         # static strided subsets: odd beads at positions (1-start_parity)::2
         po = (1 - start_parity) % 2
         pe = start_parity % 2
-        dpot_o, df2_o = delta_pot(
-            system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
-            xold[..., po::2, :], ip, with_force=True)
+        if fold is not None:
+            # force-field-cached exact Chin F^2 (rows must align with the
+            # odd subset); returns the field increment for accepted moves
+            dpot_o, df2_o, dfield = delta_pot_cached(
+                system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
+                xold[..., po::2, :], ip, fold)
+        else:
+            dpot_o, df2_o = delta_pot(
+                system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
+                xold[..., po::2, :], ip, with_force=True)
         dS = jnp.sum((4.0 * dt / 3.0) * dpot_o
                      + (2.0 * dt ** 3 / 9.0) * df2_o, axis=-1)
         dpot_e, _ = delta_pot(
@@ -318,19 +401,27 @@ def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
                    jnp.take(xnew, rows, axis=-2),
                    jnp.take(xold, rows, axis=-2), ip)
     dS = dS - jnp.sum(jnp.where(is_end, dwf, 0.0), axis=-1)
+    if fold is not None:
+        return dS.astype(dtype), dfield
     return dS.astype(dtype)
 
 
 def delta_action_level(system: System, tables: Tables, R, xnew, xold, ip,
-                       odd_beads: bool):
+                       odd_beads: bool, fold=None):
     """Summed action delta for a bisection level's midpoints.
 
     Midpoints are never chain ends (no WF pass) and — with even-aligned
     windows — share one static parity: the finest level's midpoints are odd
     (carry the F^2 term), all coarser levels even (potential only).
+    fold (odd levels only): force-field cache rows -> returns (dS, dfield).
     """
     dt = system.cfg.dt
     if odd_beads:
+        if fold is not None:
+            dpot, df2, dfield = delta_pot_cached(system, tables, R, xnew,
+                                                 xold, ip, fold)
+            return jnp.sum((4.0 * dt / 3.0) * dpot
+                           + (2.0 * dt ** 3 / 9.0) * df2, axis=-1), dfield
         dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip,
                               with_force=True)
         return jnp.sum((4.0 * dt / 3.0) * dpot

@@ -35,9 +35,15 @@ from .moves import _wrap_pos
 from .total_action import total_action
 
 
-def mala_move(system: System, tables: Tables, key, paths, active, eps):
+def mala_move(system: System, tables: Tables, key, paths, active, eps,
+              fodd=None):
     """One MALA update of the whole ensemble: paths[W, M, N, D] -> (paths',
-    accepted[W]).  active masks walkers (diagonal sector)."""
+    accepted[W]).  active masks walkers (diagonal sector).
+
+    fodd (optional): odd-bead force-field cache; a whole-path move
+    invalidates every row, so accepted walkers get a fresh field
+    (total_action already uses the exact full F^2, so MALA is consistent
+    with the exact_f2 sampling semantics)."""
     W = paths.shape[0]
     dtype = paths.dtype
     eps = jnp.asarray(eps, dtype)
@@ -61,4 +67,10 @@ def mala_move(system: System, tables: Tables, key, paths, active, eps):
     u = jax.random.uniform(k_acc, (W,), dtype)
     acc = (jnp.log(u) < logA) & active
     paths = jnp.where(acc[:, None, None, None], prop, paths)
+    if fodd is not None:
+        from .pairwise import force_field
+        M = paths.shape[1]
+        f_new = force_field(system, tables, prop[:, 1:M - 1:2])
+        fodd = jnp.where(acc[:, None, None, None], f_new, fodd)
+        return paths, fodd, acc
     return paths, acc

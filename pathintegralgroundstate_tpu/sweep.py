@@ -207,26 +207,50 @@ class Sweeper:
         do_cm = (state.step % max(cfg.CMFreq, 1)) == 0
         delta = system.geo.delta_cm
 
+        # exact-F^2 force-field cache (ops/pairwise.delta_pot_cached):
+        # recomputed fresh each step AFTER the open/close updates, carried
+        # through the diagonal move loops, discarded before the worm phase
+        # (whose moves use the brute-force exact branch).  One field pass
+        # per step ~= one ThermEnergy sweep.
+        use_fcache = cfg.exact_f2 and cfg.f2_cache and self.fused_diag
+        if use_fcache:
+            from .ops.pairwise import force_field
+            M = system.M
+            fodd = force_field(system, self.tables, paths[:, 1:M - 1:2])
+        else:
+            fodd = None
+
         def cm_body(ip, carry):
-            paths, ctr = carry
+            paths, fodd, ctr = carry
             active = (~isopen | (iworm != ip)) & do_cm
-            paths, acc = self.v_translate(
-                self._mk_t(k_step, 10, ip), paths, ip, active, delta)
+            if use_fcache:
+                paths, fodd, acc = self.v_translate(
+                    self._mk_t(k_step, 10, ip), paths, ip, active, delta,
+                    fodd=fodd)
+            else:
+                paths, acc = self.v_translate(
+                    self._mk_t(k_step, 10, ip), paths, ip, active, delta)
             ctr = ctr.at[_CIDX["try_cm"]].add(_i32sum(active))
             ctr = ctr.at[_CIDX["acc_cm"]].add(_i32sum(acc))
-            return paths, ctr
+            return paths, fodd, ctr
 
         if cfg.CMFreq > 0:  # CMFreq<=0 disables the CM sweep structurally
-            paths, ctr = lax.fori_loop(0, Np, cm_body, (paths, ctr))
+            paths, fodd, ctr = lax.fori_loop(
+                0, Np, cm_body, (paths, fodd, ctr))
 
         # ---- 2b. smart-MC (MALA) whole-path move (ops/smartmc.py; no
         # reference analogue — powered by the differentiable action) ----
         if cfg.smart_mc > 0.0:
             from .ops.smartmc import mala_move
             diag_now = ~isopen
-            paths, acc_m = mala_move(self.system, self.tables,
-                                     self._mk(k_step, 60), paths, diag_now,
-                                     cfg.smart_mc)
+            if use_fcache:
+                paths, fodd, acc_m = mala_move(
+                    self.system, self.tables, self._mk(k_step, 60), paths,
+                    diag_now, cfg.smart_mc, fodd=fodd)
+            else:
+                paths, acc_m = mala_move(self.system, self.tables,
+                                         self._mk(k_step, 60), paths,
+                                         diag_now, cfg.smart_mc)
             ctr = ctr.at[_CIDX["try_mala"]].add(_i32sum(diag_now))
             ctr = ctr.at[_CIDX["acc_mala"]].add(_i32sum(acc_m))
 
@@ -259,30 +283,34 @@ class Sweeper:
             # distribution (product-kernel argument, ops/bisection.py),
             # ~2-3x fewer sequential pair-kernel launches per step
             def end_body(it, carry):
-                paths, ctr = carry
+                paths, fodd, ctr = carry
                 ip = it % Np
                 active = ~isopen | (iworm != ip)
                 if cfg.end_regrow == "sta":
-                    paths, acc_h, acc_t = self.v_fused_ends_sta(
+                    out = self.v_fused_ends_sta(
                         self._mk_t(k_step, 20, it), paths, ip, active,
-                        2 ** self.Nlev)
+                        2 ** self.Nlev, fodd=fodd)
                 else:
-                    paths, acc_h, acc_t = self.v_fused_ends(
+                    out = self.v_fused_ends(
                         self._mk_t(k_step, 20, it), paths, ip, active,
-                        self.Nlev)
+                        self.Nlev, fodd=fodd)
+                if use_fcache:
+                    paths, fodd, acc_h, acc_t = out
+                else:
+                    paths, acc_h, acc_t = out
                 ctr = ctr.at[_CIDX["try_stag"]].add(_i32sum(active))
                 ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
                 ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
-                return paths, ctr
+                return paths, fodd, ctr
 
-            paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, end_body,
-                                       (paths, ctr))
+            paths, fodd, ctr = lax.fori_loop(0, cfg.Nstag * Np, end_body,
+                                             (paths, fodd, ctr))
 
             K = self.K_int
             ngroups = -(-Np // K)  # ceil: every particle >= 1 interior move
 
             def int_body(it, carry):
-                paths, ctr = carry
+                paths, fodd, ctr = carry
                 kk = self._mk_t(k_step, 23, it)
                 # rotate the particle->slot assignment so every particle
                 # sees every slot (and thus every window position) over
@@ -292,14 +320,19 @@ class Sweeper:
                 ips = [(it * K + k + off) % Np for k in range(K)]
                 act = jnp.stack(
                     [~isopen | (iworm != p) for p in ips], axis=1)
-                paths, acc = self.v_bis_multi(
-                    jax.random.fold_in(kk, 1), paths, ips, act, self.Nlev)
+                out = self.v_bis_multi(
+                    jax.random.fold_in(kk, 1), paths, ips, act, self.Nlev,
+                    fodd=fodd)
+                if use_fcache:
+                    paths, fodd, acc = out
+                else:
+                    paths, acc = out
                 ctr = ctr.at[_CIDX["try_int"]].add(_i32sum(act))
                 ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc))
-                return paths, ctr
+                return paths, fodd, ctr
 
-            paths, ctr = lax.fori_loop(0, cfg.Nstag * ngroups, int_body,
-                                       (paths, ctr))
+            paths, fodd, ctr = lax.fori_loop(0, cfg.Nstag * ngroups,
+                                             int_body, (paths, fodd, ctr))
         elif cfg.Nstag > 0:
             paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body,
                                        (paths, ctr))

@@ -53,17 +53,38 @@ class System:
 
     def u(self, r):
         """Two-body log-Jastrow u(r).  cfg.jastrow selects the family:
-        'mcmillan' (the reference's, system_mod.f90:44-46) or 'none'
-        (u == 0; exact for the ideal Bose gas — the analytic-limit switch
-        the reference keeps in comments, system_mod.f90:63)."""
+
+        'mcmillan'    — the reference's bare form (system_mod.f90:44-46).
+                        NOTE: with the rcut truncation every pair kernel
+                        applies (vpi_mod.f90:2619-2645), psi_T has a jump
+                        in u and u' at rcut whose delta-shell Laplacian
+                        terms the LocalEnergy estimator omits (the
+                        reference omits them too, sample_mod.f90:154-319)
+                        — a tau-independent ~-0.5 K/atom bias of the MIXED
+                        estimator on the He-4 flagship (docs/VALIDATION.md).
+        'mcmillan_c1' — C1-matched truncation: u - u(rc) - u'(rc)(r - rc),
+                        so u and u' vanish continuously at rcut and the
+                        mixed estimator is unbiased.  Same ground state
+                        (PIGS projects any trial), cleaner estimator.
+        'none'        — u == 0 (ideal Bose gas; the analytic-limit switch
+                        the reference keeps in comments, system_mod.f90:63).
+        """
         if self.cfg.jastrow == "none":
             return jnp.zeros_like(r)
-        return jas.mcmillan_u(self.cfg.Rm, r)
+        u = jas.mcmillan_u(self.cfg.Rm, r)
+        if self.cfg.jastrow == "mcmillan_c1" and self.pbc:
+            rc = self.geo.rcut
+            u = u - jas.mcmillan_u(self.cfg.Rm, rc) \
+                - jas.mcmillan_du(self.cfg.Rm, rc) * (r - rc)
+        return u
 
     def du(self, r):
         if self.cfg.jastrow == "none":
             return jnp.zeros_like(r)
-        return jas.mcmillan_du(self.cfg.Rm, r)
+        du = jas.mcmillan_du(self.cfg.Rm, r)
+        if self.cfg.jastrow == "mcmillan_c1" and self.pbc:
+            du = du - jas.mcmillan_du(self.cfg.Rm, self.geo.rcut)
+        return du
 
     def d2u(self, r):
         if self.cfg.jastrow == "none":

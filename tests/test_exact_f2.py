@@ -68,6 +68,88 @@ def test_exact_f2_n2_is_twice_partial():
     np.testing.assert_allclose(d_exact, 2.0 * d_partial, rtol=1e-10)
 
 
+def test_cached_matches_brute_exact():
+    """delta_pot_cached (O(N) incremental form) == the brute-force field
+    difference, and its dfield increment reproduces the new field exactly."""
+    from pathintegralgroundstate_tpu.ops.pairwise import (delta_pot_cached,
+                                                          force_field)
+
+    system, tables, R = _mk(Np=8, exact=True, seed=4)
+    # window of B=3 displaced beads (same config replicated, varied moves)
+    R3 = jnp.concatenate([R, R + 0.01, R - 0.02], axis=1)     # [1, 3, N, D]
+    ip = 5
+    xold = R3[:, :, ip]
+    xnew = xold + jnp.asarray([[0.08, -0.03, 0.05],
+                               [-0.06, 0.04, 0.02],
+                               [0.03, 0.07, -0.04]])[None]
+    dpot_b, df2_b = delta_pot(system, tables, R3, xnew, xold, ip,
+                              with_force=True)
+    fold = force_field(system, tables, R3)
+    dpot_c, df2_c, dfield = delta_pot_cached(system, tables, R3, xnew, xold,
+                                             ip, fold)
+    np.testing.assert_allclose(np.asarray(dpot_c), np.asarray(dpot_b),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(df2_c), np.asarray(df2_b),
+                               rtol=1e-9)
+    Rn = R3.at[:, :, ip].set(xnew)
+    np.testing.assert_allclose(np.asarray(fold + dfield),
+                               np.asarray(force_field(system, tables, Rn)),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_cached_sweep_matches_brute_trajectory():
+    """A full He-4 block with exact_f2: the cached path (f2_cache=True) and
+    the brute-force path (False) must produce the SAME trajectory (same
+    randomness, same Delta-S up to fp roundoff) — the end-to-end gate on
+    every cache slice/update in the fused sweep."""
+    from pathintegralgroundstate_tpu.state import init_state
+    from pathintegralgroundstate_tpu.sweep import Sweeper, run_block, \
+        zero_stats
+    from pathintegralgroundstate_tpu.system import make_system, make_tables
+    import jax
+
+    outs = []
+    for cache in (True, False):
+        cfg = SimConfig(dim=3, Np=6, density=0.3, dt=5e-3, Nb=8,
+                        sampling="bis", Nlev=2, Nstag=2, CMFreq=1,
+                        delta_cm=0.1, Rm=1.2, swapping=False, CWorm=0.0,
+                        Nobdm=0, n_walkers=4, dtype="float64",
+                        potential="aziz2", exact_f2=True, f2_cache=cache,
+                        smart_mc=0.05, seed=3, Nstep=3)
+        system = make_system(cfg)
+        tables = make_tables(system)
+        sweeper = Sweeper(system, tables)
+        assert sweeper.fused_diag
+        state = init_state(system)
+        state, _ = jax.jit(lambda s: run_block(system, tables, sweeper,
+                                               s, 3))(state)
+        outs.append(np.asarray(state.paths))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-8, atol=1e-10)
+
+
+def test_mcmillan_c1_continuous_at_rcut():
+    """'mcmillan_c1' trial WF: u and u' vanish continuously at rcut, so the
+    truncated psi_T has no delta-shell Laplacian terms and the mixed
+    estimator is unbiased (the bare 'mcmillan' + rcut truncation jumps by
+    u(rc), u'(rc) — the reference's estimator omits those distributional
+    terms, a ~-0.5 K/atom He-4 bias; docs/VALIDATION.md)."""
+    cfg = SimConfig(dim=3, Np=8, density=0.3, dt=5e-3, Nb=4, Rm=1.2,
+                    dtype="float64", potential="aziz2", n_walkers=1,
+                    jastrow="mcmillan_c1")
+    system = make_system(cfg)
+    rc = system.geo.rcut
+    r = jnp.asarray(rc)
+    np.testing.assert_allclose(float(system.u(r)), 0.0, atol=1e-14)
+    np.testing.assert_allclose(float(system.du(r)), 0.0, atol=1e-14)
+    # away from rcut the shape is the McMillan one shifted by a linear term
+    from pathintegralgroundstate_tpu.models import jastrow as jas
+    r2 = jnp.asarray(0.5 * rc)
+    expect = (jas.mcmillan_u(cfg.Rm, r2) - jas.mcmillan_u(cfg.Rm, rc)
+              - jas.mcmillan_du(cfg.Rm, rc) * (r2 - rc))
+    np.testing.assert_allclose(float(system.u(r2)), float(expect),
+                               rtol=1e-12)
+
+
 def test_partial_f2_is_not_conservative_exact_is():
     """Sum Delta-F^2 around a closed 3-leg cycle of single-particle moves
     (particle 0 then particle 1 then both back).  The exact form returns to

@@ -57,13 +57,13 @@ def tail_correction(density: float, rcut: float) -> float:
     return 2.0 * math.pi * density * np.trapezoid(vr * r * r, r)
 
 
-def rung_cfg(Nb: int, dt: float) -> SimConfig:
+def rung_cfg(Nb: int, dt: float, jastrow: str = "mcmillan_c1") -> SimConfig:
     return SimConfig(
         dim=3, Np=64, density=0.365, trap=False,
         dt=dt, Nb=Nb, sampling="bis", Lstag=32, Nlev=4, Nstag=5,
         CMFreq=1, delta_cm=0.12, Rm=1.2,
         swapping=False, CWorm=0.0, Nobdm=0, Npw=0,
-        n_walkers=W, dtype="float32", potential="aziz2",
+        n_walkers=W, dtype="float32", potential="aziz2", jastrow=jastrow,
         Nstep=NSTEP, Nblock=NBLOCK, seed=1982 + Nb,
     )
 
