@@ -42,14 +42,10 @@ NREPS = 3
 
 
 def _bead_updates_per_step(cfg):
-    """Bead updates attempted per MC step per walker (displaced beads)."""
-    M = 2 * cfg.Nb + 1
-    window = 2 ** cfg.Nlev if cfg.sampling == "bis" else cfg.Lstag
-    per = cfg.Np * (M // max(cfg.CMFreq, 1)     # CM: all beads
-                    + cfg.Nstag * 3 * window)   # head/tail/staging-bisection
-    if cfg.CWorm > 0:
-        per += cfg.Nobdm * (2 * (cfg.Nb + 1) + 2 * 3 * cfg.Lstag)
-    return per
+    """Bead updates attempted per MC step per walker — the package's one
+    canonical definition (counts the fused sweep's actual slot moves)."""
+    from pathintegralgroundstate_tpu.sweep import bead_updates_per_step
+    return bead_updates_per_step(cfg)
 
 
 def _run(cfg, nreps=NREPS):

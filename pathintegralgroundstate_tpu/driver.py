@@ -27,7 +27,8 @@ import numpy as np
 
 from .config import SimConfig
 from .state import MCState, init_state
-from .sweep import _CIDX, Sweeper, run_block, zero_stats
+from .sweep import _CIDX, Sweeper, bead_updates_per_step, run_block, \
+    zero_stats
 from .system import System, Tables, make_system, make_tables
 
 
@@ -259,12 +260,9 @@ class Driver:
         rec = dict(block=ib, time_s=dt_block, n_diag=nd,
                    diag_frac=nd / nsteps_tot, **{k: v / cfg.Np for k, v in
                                                  blk.items()}, **c)
-        # throughput: bead updates attempted per second
-        moves_per_step = (cfg.Np * (1 + 3 * cfg.Nstag))
-        window = (2 ** cfg.Nlev if cfg.sampling == "bis" else cfg.Lstag)
-        rec["bead_updates"] = cfg.Nstep * W * cfg.Np * (
-            1 * self.system.M // max(cfg.CMFreq, 1)
-            + 3 * cfg.Nstag * window)
+        # throughput: bead updates attempted per second (one definition
+        # repo-wide — sweep.bead_updates_per_step, also used by bench.py)
+        rec["bead_updates"] = cfg.Nstep * W * bead_updates_per_step(cfg)
         rec["bead_updates_per_s"] = rec["bead_updates"] / max(dt_block, 1e-9)
         fjl.write(json.dumps(rec) + "\n")
         fjl.flush()

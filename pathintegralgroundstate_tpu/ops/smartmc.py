@@ -70,7 +70,14 @@ def mala_move(system: System, tables: Tables, key, paths, active, eps,
     if fodd is not None:
         from .pairwise import force_field
         M = paths.shape[1]
-        f_new = force_field(system, tables, prop[:, 1:M - 1:2])
-        fodd = jnp.where(acc[:, None, None, None], f_new, fodd)
+
+        # a whole-path move invalidates every cache row of an accepted
+        # walker; skip the O(N^2 M) field pass entirely on steps where no
+        # walker accepted (late-chain MALA acceptance can be low)
+        def refresh(f):
+            f_new = force_field(system, tables, paths[:, 1:M - 1:2])
+            return jnp.where(acc[:, None, None, None], f_new, f)
+
+        fodd = jax.lax.cond(jnp.any(acc), refresh, lambda f: f, fodd)
         return paths, fodd, acc
     return paths, acc

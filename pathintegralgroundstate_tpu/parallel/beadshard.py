@@ -45,6 +45,19 @@ def make_sp_mesh(n_sp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_sp]), axis_names=("sp",))
 
 
+def _check_sp_geometry(Mm1: int, S: int, L: int):
+    """_shard_move assumes start_parity=0, valid only when every shard
+    offset k*Mloc is even — i.e. Mloc even (and the links divide evenly);
+    an odd Mloc would silently swap Chin odd/even weights on odd shards."""
+    if Mm1 % S:
+        raise ValueError(f"M-1={Mm1} links must divide the sp axis S={S}")
+    Mloc = Mm1 // S
+    if Mloc % 2:
+        raise ValueError(f"Mloc={Mloc} must be even (even-aligned windows)")
+    if L % 2 or L > Mloc:
+        raise ValueError(f"window L={L} must be even and <= Mloc={Mloc}")
+
+
 def _shard_move(system: System, tables: Tables, key, paths_l, halo, ip,
                 L: int, offset, shard_idx):
     """One staging move on this shard's local beads.
@@ -86,6 +99,9 @@ def sp_staging_sweep(system: System, tables: Tables, mesh: Mesh, L: int):
     S = mesh.shape["sp"]
 
     def sweep(key, paths, last_bead, ip):
+        Mm1 = paths.shape[1]
+        _check_sp_geometry(Mm1, S, L)
+
         def shard_fn(key, paths_l, last_b):
             k = lax.axis_index("sp")
             Mloc = paths_l.shape[1]
@@ -115,6 +131,7 @@ def sp_staging_sweep_ref(system: System, tables: Tables, S: int, L: int):
 
     def sweep(key, paths, last_bead, ip):
         W, Mm1, N, D = paths.shape
+        _check_sp_geometry(Mm1, S, L)
         Mloc = Mm1 // S
         blocks = paths.reshape(W, S, Mloc, N, D).swapaxes(0, 1)  # [S,W,Mloc..]
         halos = jnp.concatenate(

@@ -52,7 +52,7 @@ class StepStats(NamedTuple):
     sk: jnp.ndarray            # [dim, Nk]
     nrho: jnp.ndarray          # [Npw+1, Nbin] OBDM accumulator
     perm_hist: jnp.ndarray     # [Np] permutation-cycle length histogram
-    counters: jnp.ndarray      # [18] try/acc counters (see COUNTER_NAMES)
+    counters: jnp.ndarray      # [len(COUNTER_NAMES)] try/acc counters
 
 
 COUNTER_NAMES = (
@@ -80,6 +80,47 @@ def zero_stats(system: System) -> StepStats:
     )
 
 
+def bead_updates_per_step(cfg) -> int:
+    """Bead updates attempted per MC step per walker (displaced beads).
+
+    THE one throughput definition used repo-wide (bench.py and the driver's
+    metrics.jsonl both call this).  Counts what the Sweeper actually
+    attempts, including the fused composite sweep's ceil(Np/K)*K interior
+    slot moves and the optional MALA whole-path move.
+    """
+    M = 2 * cfg.Nb + 1
+    Np = cfg.Np
+    per = 0
+    # CM translations: all M beads of each particle, every CMFreq-th step
+    if cfg.CMFreq > 0:
+        per += Np * M // max(cfg.CMFreq, 1)
+    # MALA: one whole-ensemble path move per step
+    if cfg.smart_mc > 0.0:
+        per += Np * M
+    # diagonal staging/bisection sweeps
+    if cfg.Nstag > 0:
+        if cfg.sampling == "bis":
+            L = 2 ** cfg.Nlev
+            fused = (cfg.fused_sweep and not cfg.bis_end_random_depth
+                     and 2 * L < M - 1)
+            if fused:
+                K = min(max(1, (M - 1 - L) // L), Np)
+                ngroups = -(-Np // K)
+                # ends: terminal bead + L-1 midpoints per window, 2 windows
+                per += cfg.Nstag * Np * 2 * L
+                # interior: L-1 midpoints per slot
+                per += cfg.Nstag * ngroups * K * (L - 1)
+            else:
+                per += cfg.Nstag * Np * 3 * L
+        else:
+            per += cfg.Nstag * Np * 3 * cfg.Lstag
+    # worm phase (open walkers; counted per walker as the sweep masks, not
+    # skips, the closed ones)
+    if cfg.CWorm > 0.0:
+        per += cfg.Nobdm * (2 * (cfg.Nb + 1) + 2 * 3 * cfg.Lstag)
+    return per
+
+
 def _i32sum(x):
     return jnp.sum(x.astype(jnp.int32)).astype(jnp.int32)
 
@@ -96,6 +137,17 @@ class Sweeper:
         self.tables = tables
         s, t = system, tables
         cfg = system.cfg
+
+        if cfg.smart_mc > 0.0 and not cfg.exact_f2:
+            # MALA targets exp(-S) with the exact full-F^2 Chin action
+            # (total_action) while the local moves would use the reference's
+            # partial moved-particle dF^2 — two different stationary
+            # measures mixed in one chain.  Refuse the combination rather
+            # than sample something ill-defined.
+            raise ValueError(
+                "smart_mc > 0 requires exact_f2=True: MALA's target is the "
+                "exact Chin action; the reference-parity partial-dF2 moves "
+                "(exact_f2=False) sample a different measure")
 
         # batched moves operate on the whole ensemble (explicit W axis)
         self.v_translate = partial(mv.translate_chain, s, t)

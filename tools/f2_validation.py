@@ -30,7 +30,7 @@ def main():
     nblocks = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     os.makedirs(outdir, exist_ok=True)
     rows = []
-    for exact in (True,):
+    for exact in (False, True):
         cfg = rung_cfg(Nb, 5e-3).replace(
             exact_f2=exact, n_walkers=256, Nblock=nblocks)
         rdir = os.path.join(outdir, f"exact{int(exact)}_Nb{Nb}")

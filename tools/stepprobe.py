@@ -1,5 +1,10 @@
 """Component-level timing of one flagship MC step at W=4096."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp
 import numpy as np
 from pathintegralgroundstate_tpu.utils.cache import enable_compilation_cache
