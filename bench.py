@@ -57,7 +57,8 @@ def _run(cfg, nreps=NREPS):
     tables = make_tables(system)
     sweeper = Sweeper(system, tables)
     state = init_state(system)
-    block = jax.jit(lambda st: run_block(system, tables, sweeper, st, NSTEP))
+    block = jax.jit(lambda st: run_block(system, tables, sweeper, st, NSTEP),
+                    donate_argnums=(0,))
 
     state, stats = block(state)          # compile + warmup
     np.asarray(stats.counters)           # full sync through the relay

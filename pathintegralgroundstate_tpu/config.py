@@ -76,7 +76,14 @@ class SimConfig:
                                  # backend + PBC + closed-form potential/WF;
                                  # anything else falls back to the jnp path)
     mesh_walkers: int = 1        # data-parallel shards of the walker axis
-    mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner axis
+    mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner
+                                 # axis: >1 annotates the pair kernels'
+                                 # partner-axis intermediates onto the mesh's
+                                 # 'tp' axis (GSPMD partitions the O(Np)
+                                 # partner loops + O(Np^2) pair sums with
+                                 # psum collectives); requires Np % tp == 0,
+                                 # disables the Pallas pair kernels, and is
+                                 # worthwhile for large Np (>= ~256)
     distributed: bool = False    # call jax.distributed.initialize() (multi-host)
     debug: bool = False          # debug mode: jax_debug_nans, per-step
                                  # dispatch (NaNs localize to one MC step),

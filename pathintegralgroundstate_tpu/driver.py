@@ -67,14 +67,12 @@ class Driver:
         self.out_dir = out_dir
         self.verbose = verbose
         os.makedirs(out_dir, exist_ok=True)
-        self.system: System = make_system(cfg)
-        self.tables: Tables = make_tables(self.system)
-        self.sweeper = Sweeper(self.system, self.tables)
-        self._write_tables()
 
         # device mesh: walker axis data-parallel over 'dp', partner axis
         # over 'tp' (the reference is one process / one walker, vpi.f90:134;
-        # SURVEY.md §2.3 DP/TP rows)
+        # SURVEY.md §2.3 DP/TP rows).  The mesh is built BEFORE the System
+        # so the pair kernels can carry the tp annotation
+        # (ops/pairwise._tp_constrain).
         self.mesh = None
         n_dp, n_tp = cfg.mesh_walkers, cfg.mesh_pairs
         if n_dp * n_tp > 1:
@@ -86,8 +84,20 @@ class Driver:
             if cfg.n_walkers % n_dp:
                 raise ValueError(
                     f"n_walkers={cfg.n_walkers} must divide mesh_walkers={n_dp}")
-            from .parallel.mesh import make_mesh, sharded_block_fn, shard_state
+            if n_tp > 1 and cfg.Np % n_tp:
+                raise ValueError(
+                    f"Np={cfg.Np} must divide mesh_pairs={n_tp}")
+            from .parallel.mesh import make_mesh
             self.mesh = make_mesh(n_dp=n_dp, n_tp=n_tp)
+
+        self.system: System = make_system(
+            cfg, tp_mesh=self.mesh if n_tp > 1 else None)
+        self.tables: Tables = make_tables(self.system)
+        self.sweeper = Sweeper(self.system, self.tables)
+        self._write_tables()
+
+        if self.mesh is not None:
+            from .parallel.mesh import sharded_block_fn, shard_state
             self._shard = lambda st: shard_state(st, self.mesh)
             self._block_fn = sharded_block_fn(
                 self.system, self.tables, self.sweeper, cfg.Nstep, self.mesh)
@@ -106,6 +116,10 @@ class Driver:
             self._block_fn = _debug_block
         else:
             self._shard = lambda st: st
+            # NOTE: no buffer donation here — run() pipelines block k+1's
+            # dispatch before block k's checkpoint reads state_snapshot, so
+            # the previous state buffer must stay alive (donating it raises
+            # 'Array has been deleted' in save_checkpoint)
             self._block_fn = jax.jit(
                 lambda st: run_block(self.system, self.tables, self.sweeper,
                                      st, cfg.Nstep))

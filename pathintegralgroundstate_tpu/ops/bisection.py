@@ -9,15 +9,23 @@ kernel — accept iff every level accepts, each level's proposal built on the
 previous levels' updated beads.
 
 TPU-native choices (all preserve detailed balance; see ops/moves.py notes):
-  * interior windows are even-aligned, making each level's midpoint beads a
-    single *static* parity: only the finest level (odd beads) carries the
-    F^2 force pass, and midpoints are never chain ends (no WF pass);
+  * every level's midpoint Delta-S is ONE fused all-bead pair kernel
+    (ops/pairwise.delta_action_rows) with the Chin weights derived from the
+    traced bead indices — no odd/even subset gymnastics;
   * the end-segment variants draw their random depth Nlev in [2, level]
     (vpi_mod.f90:1023) once per move site — shared across walkers — so a
     `lax.switch` dispatches to fully static per-depth implementations.
     (Sharing the depth across walkers leaves each walker's kernel the same
     mixture and the product stationary distribution exact; it only adds a
     negligible cross-walker correlation of proposal sizes.)
+
+Exact-F^2 cache (cfg.exact_f2 + f2_cache): the cache holds the force field
+at EVERY bead.  Each level's cached kernel returns a per-row cache
+increment; because different levels displace DISJOINT bead sets (and
+forces are equal-time), the increments are accumulated into a window-shaped
+buffer and applied to the cache ONCE at the end, gated by the FINAL alive
+mask — so a walker rejected at any level leaves the cache untouched,
+exactly matching the restored path.
 """
 
 from __future__ import annotations
@@ -29,43 +37,37 @@ from jax import lax
 from ..system import System, Tables
 from .moves import _mi, _window_start, _wrap_pos, get_chain, metropolis, \
     set_chain, _slice_beads, _update_beads
-from .pairwise import delta_action, delta_action_level, delta_pot, \
-    delta_pot_cached
+from .pairwise import delta_action, delta_action_rows
 
 
-def _level_midpoints_static(system: System, tables: Tables, key, seg, R_seg,
-                            ib_seg, ip, ilev: int, nlev: int):
-    """One bisection level with static depth: displace the level's midpoints.
-
-    seg [W, 2**nlev+1, D]; midpoints icurr = (2j-1)*delta/2 are static
-    positions with one static bead parity (even-aligned windows).
-    """
-    cfg = system.cfg
-    dt = cfg.dt
-    dtype = seg.dtype
-    W = seg.shape[0]
+def _level_geometry(ilev: int, nlev: int):
+    """Static midpoint/anchor indices of bisection level ilev of nlev."""
     delta = 2 ** (nlev - ilev + 1)
     j = jnp.arange(1, 2 ** (ilev - 1) + 1)
     iprev = (j - 1) * delta
     inext = j * delta
     icurr = (iprev + inext) // 2
-    odd_level = ilev == nlev  # finest level: midpoints on odd beads
+    return delta, iprev, inext, icurr
 
-    xold = seg[:, icurr]                     # [W, nmid, D]
-    xp = seg[:, iprev]
-    xn = seg[:, inext]
+
+def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
+    """Midpoint gaussian proposal of one level: returns (icurr, xold, xnew).
+
+    seg [..., 2**nlev+1, D]; sigma = sqrt(dt_bis/2), dt_bis = delta*dt/2
+    (vpi_mod.f90:905-907).
+    """
+    dt = system.cfg.dt
+    dtype = seg.dtype
+    delta, iprev, inext, icurr = _level_geometry(ilev, nlev)
+    xold = seg[..., icurr, :]
+    xp = seg[..., iprev, :]
+    xn = seg[..., inext, :]
     g = jax.random.normal(key, xold.shape, dtype)
-    # dt_bis = 0.5*delta*dt, sigma = sqrt(0.5*dt_bis) (vpi_mod.f90:905-907)
     sigma = jnp.sqrt(0.25 * delta * dt)
     xprev = xold + _mi(system, xp - xold)
     xnext = xold - _mi(system, xold - xn)
-    xmid = 0.5 * (xprev + xnext)
-    xnew = _wrap_pos(system, xmid + sigma * g)
-
-    dS = delta_action_level(system, tables, R_seg[:, icurr], xnew, xold, ip,
-                            odd_beads=odd_level)
-    seg = seg.at[:, icurr].set(xnew)
-    return seg, dS
+    xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * g)
+    return icurr, xold, xnew
 
 
 def bisection(system: System, tables: Tables, key, paths, ip, active,
@@ -81,12 +83,17 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     seg0 = _slice_beads(chain, ii, seg_len + 1)
     R_seg = _slice_beads(paths, ii, seg_len + 1)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(seg_len + 1)
+    ib_seg = jnp.broadcast_to(ib_seg, (W, seg_len + 1))
 
     seg = seg0
     alive = active
     for ilev in range(1, level + 1):
-        seg, dS = _level_midpoints_static(system, tables, keys[ilev], seg,
-                                          R_seg, ib_seg, ip, ilev, level)
+        icurr, xold, xnew = _level_proposal(system, keys[ilev], seg, ilev,
+                                            level)
+        dS = jnp.sum(delta_action_rows(
+            system, tables, R_seg[:, icurr], xnew, xold, ip,
+            ib_seg[:, icurr], need_wf=False), axis=-1)
+        seg = seg.at[:, icurr].set(xnew)
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
     chain = _update_beads(chain, ii, seg_fin)
@@ -129,8 +136,12 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     seg = seg0.at[:, 0].set(xnew0)
 
     for ilev in range(1, nlev + 1):
-        seg, dS = _level_midpoints_static(system, tables, k_lev[ilev - 1],
-                                          seg, R_seg, ib_seg, ip, ilev, nlev)
+        icurr, xold, xnew = _level_proposal(system, k_lev[ilev - 1], seg,
+                                            ilev, nlev)
+        dS = jnp.sum(delta_action_rows(
+            system, tables, R_seg[:, icurr], xnew, xold, ip,
+            ib_seg[:, icurr], need_wf=False), axis=-1)
+        seg = seg.at[:, icurr].set(xnew)
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
 
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
@@ -200,7 +211,9 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
 
     Per level, the head and tail midpoints are evaluated in a single
     batched pair kernel (rows doubled), halving the sequential kernel count
-    of the two end moves.  Returns (paths, acc_head[W], acc_tail[W]).
+    of the two end moves.  fodd [W, M, N, D]: all-bead force-field cache
+    (see module note on the deferred, final-alive-gated update).
+    Returns (paths[, fodd], acc_head[W], acc_tail[W]).
     """
     cfg = system.cfg
     M = system.M
@@ -214,6 +227,8 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     seg0 = jnp.stack([chain[:, : L + 1], chain[:, M - 1 - L:][:, ::-1]],
                      axis=1)                                  # [W, 2, L+1, D]
     dtype = seg0.dtype
+    # bead indices per segment row (head: 0..L, tail reversed: M-1..M-1-L)
+    ib2 = jnp.stack([jnp.arange(L + 1), M - 1 - jnp.arange(L + 1)])  # [2,L+1]
 
     # free-gaussian end guesses with their own accept gate
     # (vpi_mod.f90:1039-1076), both ends at once
@@ -224,64 +239,42 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g)
     R_ends = jnp.stack([paths[:, 0], paths[:, M - 1]], axis=1)  # [W, 2, N, D]
     ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
-    dS0 = delta_action(system, tables, R_ends, xnew0, xold0, ip, ib_ends,
-                       with_force=False)
+    if fodd is not None:
+        dF_seg = jnp.zeros(seg0.shape[:3] + (cfg.Np, cfg.dim), dtype)
+        fold0 = jnp.stack([fodd[:, 0], fodd[:, M - 1]], axis=1)
+        dS0, dfield0 = delta_action_rows(system, tables, R_ends, xnew0,
+                                         xold0, ip, ib_ends, fold=fold0)
+        dF_seg = dF_seg.at[:, :, 0].set(dfield0)
+    else:
+        dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
+                                ib_ends)
     alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
     seg = seg0.at[:, :, 0].set(xnew0)
 
     for ilev in range(1, level + 1):
-        delta = 2 ** (level - ilev + 1)
-        j = jnp.arange(1, 2 ** (ilev - 1) + 1)
-        iprev = (j - 1) * delta
-        inext = j * delta
-        icurr = (iprev + inext) // 2
+        icurr, xold, xnew = _level_proposal(system, k_lev[ilev - 1], seg,
+                                            ilev, level)
         nmid = icurr.shape[0]
-        odd_level = ilev == level  # M-1 even => tail parity == head parity
-
-        xold = seg[:, :, icurr]                                # [W, 2, m, D]
-        xp = seg[:, :, iprev]
-        xn = seg[:, :, inext]
-        gl = jax.random.normal(k_lev[ilev - 1], xold.shape, dtype)
-        sigma = jnp.sqrt(0.25 * delta * dt)
-        xprev = xold + _mi(system, xp - xold)
-        xnext = xold - _mi(system, xold - xn)
-        xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * gl)
-
         # one batched pair kernel over BOTH segments' midpoints
         R_mid = jnp.concatenate(
             [paths[:, icurr], paths[:, M - 1 - icurr]], axis=1)
+        ib_mid = jnp.broadcast_to(
+            ib2[:, icurr].reshape(1, 2 * nmid), (W, 2 * nmid))
         xn2 = xnew.reshape(W, 2 * nmid, -1)
         xo2 = xold.reshape(W, 2 * nmid, -1)
-        if odd_level and fodd is not None:
-            # finest level = the odd beads: exact F^2 via the cache
-            rows_h = (icurr - 1) // 2                  # beads icurr (odd)
-            rows_t = (M - 1 - icurr - 1) // 2          # beads M-1-icurr
+        if fodd is not None:
             fold = jnp.concatenate(
-                [fodd[:, rows_h], fodd[:, rows_t]], axis=1)
-            dpot, df2, dfield = delta_pot_cached(
-                system, tables, R_mid, xn2, xo2, ip, fold)
-            dS = jnp.sum(((4.0 * dt / 3.0) * dpot
-                          + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, 2, nmid),
-                         axis=-1)
-            alive = alive & metropolis(
-                jax.random.fold_in(k_lev[-1], ilev), dS)
-            m2 = alive[:, :, None, None, None]         # [W, 2, 1, 1, 1]
-            dfw = jnp.where(m2, dfield.reshape(W, 2, nmid, *dfield.shape[2:]),
-                            0.0)
-            fodd = fodd.at[:, rows_h].add(dfw[:, 0])
-            fodd = fodd.at[:, rows_t].add(dfw[:, 1])
+                [fodd[:, icurr], fodd[:, M - 1 - icurr]], axis=1)
+            rows, dfield = delta_action_rows(
+                system, tables, R_mid, xn2, xo2, ip, ib_mid, fold=fold,
+                need_wf=False)
+            dF_seg = dF_seg.at[:, :, icurr].set(
+                dfield.reshape(W, 2, nmid, *dfield.shape[2:]))
         else:
-            dpot, df2 = delta_pot(system, tables, R_mid, xn2, xo2,
-                                  ip, with_force=odd_level)
-            if odd_level:
-                dS = jnp.sum(((4.0 * dt / 3.0) * dpot
-                              + (2.0 * dt ** 3 / 9.0) * df2
-                              ).reshape(W, 2, nmid), axis=-1)
-            else:
-                dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, 2, nmid),
-                             axis=-1)
-            alive = alive & metropolis(
-                jax.random.fold_in(k_lev[-1], ilev), dS)
+            rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
+                                     ib_mid, need_wf=False)
+        dS = jnp.sum(rows.reshape(W, 2, nmid), axis=-1)
+        alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
         seg = seg.at[:, :, icurr].set(xnew)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
@@ -289,6 +282,9 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     chain = chain.at[:, M - 1 - L:].set(seg_fin[:, 1, ::-1])
     paths = set_chain(paths, ip, chain)
     if fodd is not None:
+        dF_fin = jnp.where(alive[:, :, None, None, None], dF_seg, 0.0)
+        fodd = fodd.at[:, : L + 1].add(dF_fin[:, 0])
+        fodd = fodd.at[:, M - 1 - L:].add(dF_fin[:, 1, ::-1])
         return paths, fodd, alive[:, 0], alive[:, 1]
     return paths, alive[:, 0], alive[:, 1]
 
@@ -307,8 +303,9 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     [0, M-1-L] — the same support as the sequential kernel's window mixture
     (_window_start), restoring full bead coverage.
 
-    active: [W] or [W, K] per-slot activity mask.
-    Returns (paths, acc[W, K]).
+    active: [W] or [W, K] per-slot activity mask.  fodd [W, M, N, D]:
+    all-bead force-field cache (deferred, final-alive-gated update).
+    Returns (paths[, fodd], acc[W, K]).
     """
     cfg = system.cfg
     M = system.M
@@ -330,6 +327,7 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     dtype = paths.dtype
 
     ips_arr = [jnp.asarray(p, jnp.int32) for p in ips]
+    ip_mat = jnp.stack(ips_arr)                               # [K]
     # slot segments: particle ips[k]'s beads [kL .. (k+1)L] (static within
     # R_big) -> [W, K, L+1, D]
     seg0 = jnp.stack(
@@ -337,67 +335,33 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
         axis=1)
     seg = seg0
     alive = active
+    if fodd is not None:
+        f_big = lax.dynamic_slice_in_dim(fodd, s, span + 1, axis=1)
+        dF_big = jnp.zeros_like(f_big)
 
     for ilev in range(1, level + 1):
-        delta = 2 ** (level - ilev + 1)
-        j = jnp.arange(1, 2 ** (ilev - 1) + 1)
-        iprev = (j - 1) * delta
-        inext = j * delta
-        icurr = (iprev + inext) // 2
+        icurr, xold, xnew = _level_proposal(system, keys[ilev], seg, ilev,
+                                            level)
         nmid = icurr.shape[0]
-        odd_level = ilev == level
-
-        xold = seg[:, :, icurr]                                # [W, K, m, D]
-        xp = seg[:, :, iprev]
-        xn = seg[:, :, inext]
-        gl = jax.random.normal(keys[ilev], xold.shape, dtype)
-        sigma = jnp.sqrt(0.25 * delta * dt)
-        xprev = xold + _mi(system, xp - xold)
-        xnext = xold - _mi(system, xold - xn)
-        xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * gl)
-
         # one pair kernel over all K slots' midpoints; per-row particle ids
         idx = jnp.concatenate([k * L + icurr for k in range(K)])
         R_mid = R_big[:, idx]                                  # [W, K*m, N, D]
+        ib_mid = jnp.broadcast_to(s + idx[None, :], (W, K * nmid))
         ip_rows = jnp.broadcast_to(
-            jnp.stack(ips_arr)[None, :, None], (W, K, nmid)
-        ).reshape(W, K * nmid)
+            ip_mat[None, :, None], (W, K, nmid)).reshape(W, K * nmid)
         xn2 = xnew.reshape(W, K * nmid, -1)
         xo2 = xold.reshape(W, K * nmid, -1)
-        if odd_level and fodd is not None:
-            # the K slots' finest-level (odd) beads are one contiguous
-            # cache-row block starting at s//2 (slot k rows at offset
-            # k*L//2), in exactly idx order
-            f_rows = lax.dynamic_slice_in_dim(fodd, s // 2, K * L // 2,
-                                              axis=1)
-            # within the block, slot k's midpoints sit at static offsets
-            fold = f_rows[:, (idx - 1) // 2]
-            dpot, df2, dfield = delta_pot_cached(
-                system, tables, R_mid, xn2, xo2, ip_rows, fold)
-            dS = jnp.sum(((4.0 * dt / 3.0) * dpot
-                          + (2.0 * dt ** 3 / 9.0) * df2).reshape(W, K, nmid),
-                         axis=-1)
-            alive = alive & metropolis(
-                jax.random.fold_in(keys[-1], ilev), dS)
-            mK = alive[:, :, None, None, None]
-            dfw = jnp.where(mK, dfield.reshape(W, K, nmid,
-                                               *dfield.shape[2:]), 0.0)
-            f_rows = f_rows.at[:, (idx - 1) // 2].add(
-                dfw.reshape(W, K * nmid, *dfield.shape[2:]))
-            fodd = lax.dynamic_update_slice_in_dim(fodd, f_rows, s // 2,
-                                                   axis=1)
+        if fodd is not None:
+            fold = f_big[:, idx]
+            rows, dfield = delta_action_rows(
+                system, tables, R_mid, xn2, xo2, ip_rows, ib_mid, fold=fold,
+                need_wf=False)
+            dF_big = dF_big.at[:, idx].set(dfield)
         else:
-            dpot, df2 = delta_pot(system, tables, R_mid, xn2, xo2,
-                                  ip_rows, with_force=odd_level)
-            if odd_level:
-                dS = jnp.sum(((4.0 * dt / 3.0) * dpot
-                              + (2.0 * dt ** 3 / 9.0) * df2
-                              ).reshape(W, K, nmid), axis=-1)
-            else:
-                dS = jnp.sum(((2.0 * dt / 3.0) * dpot).reshape(W, K, nmid),
-                             axis=-1)
-            alive = alive & metropolis(
-                jax.random.fold_in(keys[-1], ilev), dS)
+            rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
+                                     ip_rows, ib_mid, need_wf=False)
+        dS = jnp.sum(rows.reshape(W, K, nmid), axis=-1)
+        alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
         seg = seg.at[:, :, icurr].set(xnew)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
@@ -408,6 +372,13 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
             paths, upd.astype(paths.dtype),
             (jnp.int32(0), s + k * L + 1, ips_arr[k], jnp.int32(0)))
     if fodd is not None:
+        # per-slot final gate: slot k's increments live at rows kL+1..kL+L-1
+        # (boundary rows are never displaced and stay zero)
+        slot_alive = jnp.repeat(alive, L, axis=1)             # [W, K*L]
+        slot_alive = jnp.concatenate(
+            [slot_alive, alive[:, -1:]], axis=1)              # [W, span+1]
+        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dF_big, 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, f_big, s, axis=1)
         return paths, fodd, alive
     return paths, alive
 

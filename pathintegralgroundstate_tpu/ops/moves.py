@@ -21,9 +21,10 @@ Structural redesign vs the reference (see SURVEY.md §7):
     Delta-S contribution is exactly zero — no masking epsilon anywhere.
   * Staging windows are drawn on EVEN start beads (the reference draws any
     start, vpi_mod.f90:498).  Any state-independent window distribution
-    preserves detailed balance; even alignment makes every window position's
-    bead parity static, so the F^2 force pass runs on exactly the odd half
-    and no gathers are needed (ops/pairwise.delta_action_sum).
+    preserves detailed balance; even alignment keeps the bisection levels'
+    midpoint parities static and every window's Delta-S is ONE fused
+    all-bead pair kernel with ib-derived Chin weights
+    (ops/pairwise.delta_action_rows).
 
 Randomness: one threefry key per move site, with per-walker independence
 coming from array-shaped draws — reproducible and order-independent.
@@ -68,23 +69,29 @@ def _wrap_pos(system: System, x):
 
 
 def get_chain(paths, ip):
-    """Worldlines of particle(s) ip: [W, M, D].  ip scalar or [W]."""
+    """Worldlines of particle(s) ip: [W, M, D].  ip scalar or [W].
+
+    The per-walker form (the worm particle) is a one-hot CONTRACTION, not a
+    gather: TPU gathers/scatters with per-row indices serialize, while the
+    one-hot dot streams paths once at full HBM bandwidth (a ~15 ms/move ->
+    ~0.5 ms/move difference at W=4096, docs/VALIDATION.md 'Performance')."""
     ip = jnp.asarray(ip)
     if ip.ndim == 0:
         return paths[:, :, ip, :]
-    idx = ip[:, None, None, None]
-    return jnp.take_along_axis(paths, idx, axis=2)[:, :, 0, :]
+    onehot = (jnp.arange(paths.shape[2]) == ip[:, None]).astype(paths.dtype)
+    return jnp.einsum("wmnd,wn->wmd", paths, onehot)
 
 
 def set_chain(paths, ip, chain):
-    """Write chains [W, M, D] back into paths at particle(s) ip."""
+    """Write chains [W, M, D] back into paths at particle(s) ip.
+
+    Per-walker ip uses a one-hot select (single fused elementwise pass over
+    paths) instead of an XLA scatter — see get_chain."""
     ip = jnp.asarray(ip)
     if ip.ndim == 0:
         return paths.at[:, :, ip, :].set(chain)
-    W = paths.shape[0]
-    # advanced indices ([W,1] x [W,1]) land in front: update shape [W,1,M,D]
-    return paths.at[jnp.arange(W)[:, None], :, ip[:, None], :].set(
-        chain[:, None, :, :])
+    sel = (jnp.arange(paths.shape[2])[None, :] == ip[:, None])  # [W, N]
+    return jnp.where(sel[:, None, :, None], chain[:, :, None, :], paths)
 
 
 def _slice_beads(arr, ii, L: int):
@@ -197,15 +204,20 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
                 'fixed' — keep bead 0 (interior Staging).
     first_w: weight multiplying the first bead's Delta-S (0.5 for the worm
              central bead, vpi_mod.f90:1573-1577; 0.0 for Swap's pin).
-    start_parity: static parity of ib_seg[:, 0] (all callers even-align).
+    start_parity: ignored (kept for API stability; the Chin weights come
+             from the traced ib_seg — see ops/pairwise.delta_action_rows).
     fixed_L: static int when every walker's Ls equals it (interior staging)
              — selects the single-matrix bridge matmul.
+    fold:    force-field cache rows for the window's DISPLACED beads
+             (rows 0..Lb-1), switching the F^2 term to the cached exact
+             form; returns the cache increment as a 4th output.
 
     Beads 1..Ls-1 are rebuilt by the exact staging recursion
     (vpi_mod.f90:509-549) toward the anchor; the interaction Delta-S of the
-    whole window is one batched pair kernel.
+    whole window — INCLUDING the first bead, weighted first_w — is one
+    batched pair kernel over rows 0..Lb-1.
 
-    Returns (seg_new, dS_first[W], dS_rest[W]).
+    Returns (seg_new, dS[W]) (+ dfield with fold).
     """
     cfg = system.cfg
     dt = cfg.dt
@@ -215,7 +227,10 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
     k_first, k_stag = jax.random.split(key)
 
     Ls = jnp.asarray(Ls, jnp.int32)
-    anchor = jnp.take_along_axis(seg, Ls[:, None, None], axis=1)[:, 0]  # [W,D]
+    # per-walker anchor bead via one-hot contraction (per-row gathers
+    # serialize on TPU; see get_chain)
+    oh_ls = (jnp.arange(Lbp1) == Ls[:, None]).astype(dtype)      # [W, Lb+1]
+    anchor = jnp.einsum("wld,wl->wd", seg, oh_ls)                # [W, D]
     xold0 = seg[:, 0]
 
     if first_mode == "gauss":
@@ -229,15 +244,6 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
         xnew0 = xold0
     else:
         raise ValueError(first_mode)
-
-    if first_mode == "fixed":
-        dS_first = jnp.zeros((W,), dtype)
-    else:
-        # the regrown first bead is always a chain end or the worm center —
-        # never an odd interior bead — so its F^2 weight is zero
-        dS_first = first_w * jnp.sum(delta_action(
-            system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
-            ip, ib_seg[..., :1], with_force=False), axis=-1)
 
     # staging reconstruction of beads 1..Ls-1
     xolds = seg[:, 1:Lb]  # [W, Lb-1, D]
@@ -255,8 +261,15 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
             wgt = jnp.asarray(wnp[fixed_L], dtype)[None, :]
             z = jnp.einsum("jk,wkd->wjd", T1, g)
         else:
-            T = jnp.asarray(Tnp, dtype)[Ls]            # [W, J, J]
-            wgt = jnp.asarray(wnp, dtype)[Ls]          # [W, J]
+            # per-walker bridge matrices via one-hot matmul (an [Ls] row
+            # gather of [J, J] blocks serializes on TPU)
+            oh = oh_ls[:, : Tnp.shape[0]]              # [W, Lb+1]
+            J = Tnp.shape[1]
+            T = jnp.einsum(
+                "wl,lx->wx", oh,
+                jnp.asarray(Tnp, dtype).reshape(Tnp.shape[0], J * J)
+            ).reshape(-1, J, J)                        # [W, J, J]
+            wgt = jnp.einsum("wl,lj->wj", oh, jnp.asarray(wnp, dtype))
             z = jnp.einsum("wjk,wkd->wjd", T, g)
         mean = xnew0[:, None, :] + wgt[:, :, None] * xdiff[:, None, :]
         xnews = _wrap_pos(system, mean + z)
@@ -281,16 +294,34 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
                             (jnp.arange(1, Lb), gs, xolds.swapaxes(0, 1)))
         xnews = xnews.swapaxes(0, 1)  # [W, Lb-1, D]
 
-    rest_parity = None if start_parity is None else (start_parity + 1) % 2
+    # one pair pass over ALL displaced rows 0..Lb-1; the first bead's whole
+    # contribution carries first_w (worm-center 1/2, vpi_mod.f90:1573-1577;
+    # 0 for Swap's pin), the bridge rows weight 1.  need_wf only when the
+    # window can reach a chain end (first_mode regrows bead 0/2Nb or the
+    # caller's window covers one — interior 'fixed' windows never do).
+    # a ZERO-weighted first row (Swap's pin, vpi_mod.f90:2388-2436) is
+    # excluded from the evaluation entirely: the pin position coincides
+    # EXACTLY with the worm particle's bead (not the moved particle's, so
+    # notself keeps the pair) and the singular 1/r would poison the row sum
+    # with 0 * inf = NaN
+    x0_eval = xold0 if first_w == 0.0 else xnew0
+    xnew_all = jnp.concatenate([x0_eval[:, None], xnews], axis=1)
+    xold_all = jnp.concatenate([xold0[:, None], xolds], axis=1)
+    rw = None
+    if first_w not in (0.0, 1.0):
+        rw = jnp.ones((Lb,), dtype).at[0].set(first_w)
+    # only 'gauss' callers regrow windows that can reach a chain end (head/
+    # tail moves); 'fixed'/'pin' windows displace strictly interior beads
+    need_wf = first_mode == "gauss"
     out = delta_action_sum(
-        system, tables, R_seg[:, 1:Lb], xnews, xolds, ip, ib_seg[..., 1:Lb],
-        start_parity=rest_parity, fold=fold)
+        system, tables, R_seg[:, :Lb], xnew_all, xold_all, ip,
+        ib_seg[..., :Lb], fold=fold, need_wf=need_wf, row_weights=rw)
 
     seg_new = seg.at[:, 0].set(xnew0).at[:, 1:Lb].set(xnews)
     if fold is not None:
-        dS_rest, dfield = out
-        return seg_new, dS_first, dS_rest, dfield
-    return seg_new, dS_first, out
+        dS, dfield = out
+        return seg_new, dS, dfield
+    return seg_new, out
 
 
 # ---------------------------------------------------------------------------
@@ -301,9 +332,9 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
                     delta, fodd=None):
     """Rigid CM displacement of one particle's whole worldline (ensemble).
 
-    fodd [W, Nb, N, D] (optional): force-field cache at the odd beads —
-    routes the F^2 part of the acceptance through the exact cached form and
-    returns the updated cache (see ops/pairwise.delta_pot_cached)."""
+    fodd [W, M, N, D] (optional): per-bead force-field cache — routes the
+    F^2 part of the acceptance through the exact cached form and returns
+    the updated cache (see ops/pairwise.delta_action_rows)."""
     M = system.M
     W = paths.shape[0]
     D = system.cfg.dim
@@ -315,7 +346,7 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
     out = delta_action_sum(system, tables, paths, xnew, chain, ip, ib,
                            start_parity=0, fold=fodd)
     if fodd is not None:
-        dS, dfield = out  # odd rows of the whole chain = every cache row
+        dS, dfield = out  # whole-chain rows = the entire cache
         acc = metropolis(k_acc, dS) & active
         fodd = fodd + jnp.where(acc[:, None, None, None], dfield, 0.0)
     else:
@@ -370,10 +401,10 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
     R_seg = _slice_beads(paths, ii, L + 1)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
-    seg_new, dS0, dSr = segment_regrow(
+    seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        start_parity=0, fixed_L=L)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+        fixed_L=L)
+    acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     chain = _update_beads(chain, ii, seg_fin)
     return set_chain(paths, ip, chain), acc
@@ -395,10 +426,10 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     R_seg = _slice_beads(paths, ii, L + 1)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
-    seg_new, dS0, dSr = segment_regrow(
+    seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        start_parity=par, fixed_L=L)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+        fixed_L=L)
+    acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     chain = _update_beads(chain, ii, seg_fin)
     xend = xend.at[:, half - 1].set(chain[:, Nb])
@@ -424,10 +455,9 @@ def move_head(system: System, tables: Tables, key, paths, ip, active,
     seg = chain[:, : Lmax + 1]
     R_seg = paths[:, : Lmax + 1]
     ib_seg = jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1))
-    seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-        start_parity=0)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+    seg_new, dS = segment_regrow(
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+    acc = metropolis(k_acc, dS) & active
     chain = chain.at[:, : Lmax + 1].set(
         jnp.where(acc[:, None, None], seg_new, seg))
     return set_chain(paths, ip, chain), acc
@@ -445,10 +475,9 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     R_seg = paths[:, M - 1 - Lmax:][:, ::-1]
     ib_seg = jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1),
                               (W, Lmax + 1))
-    seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-        start_parity=(M - 1) % 2)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+    seg_new, dS = segment_regrow(
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+    acc = metropolis(k_acc, dS) & active
     chain = chain.at[:, M - 1 - Lmax:].set(
         jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
     return set_chain(paths, ip, chain), acc
@@ -486,22 +515,18 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
         jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1)),
         jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1), (W, Lmax + 1)),
     ], axis=0)
-    # both orientations start on even beads (0 and M-1 = 2*Nb)
     if fodd is not None:
-        Nb = system.cfg.Nb
-        Lh = Lmax // 2
-        # odd-bead cache rows under each window, in segment order (the tail
-        # segment is bead-reversed, so its odd rows run backwards)
+        # all-bead cache rows under each window's DISPLACED beads
+        # (0..Lmax-1 head, M-1..M-Lmax tail in reversed segment order)
         fold = jnp.concatenate(
-            [fodd[:, :Lh], fodd[:, Nb - Lh:][:, ::-1]], axis=0)
-        seg_new, dS0, dSr, dfield = segment_regrow(
+            [fodd[:, :Lmax], fodd[:, M - Lmax:][:, ::-1]], axis=0)
+        seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-            start_parity=0, fold=fold)
+            fold=fold)
     else:
-        seg_new, dS0, dSr = segment_regrow(
-            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-            start_parity=0)
-    acc2 = metropolis(k_acc, dS0 + dSr) & jnp.concatenate([active, active])
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+    acc2 = metropolis(k_acc, dS) & jnp.concatenate([active, active])
     seg_fin = jnp.where(acc2[:, None, None], seg_new, seg)
     chain = chain.at[:, : Lmax + 1].set(seg_fin[:W])
     chain = chain.at[:, M - 1 - Lmax:].set(seg_fin[W:, ::-1])
@@ -509,8 +534,8 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
     if fodd is not None:
         mh = (acc2[:W])[:, None, None, None]
         mt = (acc2[W:])[:, None, None, None]
-        fodd = fodd.at[:, :Lh].add(jnp.where(mh, dfield[:W], 0.0))
-        fodd = fodd.at[:, Nb - Lh:].add(
+        fodd = fodd.at[:, :Lmax].add(jnp.where(mh, dfield[:W], 0.0))
+        fodd = fodd.at[:, M - Lmax:].add(
             jnp.where(mt, dfield[W:, ::-1], 0.0))
         return paths, fodd, acc2[:W], acc2[W:]
     return paths, acc2[:W], acc2[W:]
@@ -531,10 +556,9 @@ def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
     seg = chain[:, lo: lo + Lmax + 1]
     R_seg = paths[:, lo: lo + Lmax + 1]
     ib_seg = jnp.broadcast_to(lo + jnp.arange(Lmax + 1), (W, Lmax + 1))
-    seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
-        start_parity=lo % 2)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+    seg_new, dS = segment_regrow(
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+    acc = metropolis(k_acc, dS) & active
     chain = chain.at[:, lo: lo + Lmax + 1].set(
         jnp.where(acc[:, None, None], seg_new, seg))
     xend = xend.at[:, half - 1].set(chain[:, Nb])
@@ -557,10 +581,9 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
     seg = chain[:, lo: hi + 1][:, ::-1]
     R_seg = paths[:, lo: hi + 1][:, ::-1]
     ib_seg = jnp.broadcast_to(jnp.arange(hi, lo - 1, -1), (W, Lmax + 1))
-    seg_new, dS0, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
-        start_parity=hi % 2)
-    acc = metropolis(k_acc, dS0 + dSr) & active
+    seg_new, dS = segment_regrow(
+        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+    acc = metropolis(k_acc, dS) & active
     chain = chain.at[:, lo: hi + 1].set(
         jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
     xend = xend.at[:, half - 1].set(chain[:, Nb])

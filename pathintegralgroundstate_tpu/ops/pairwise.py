@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -55,6 +56,30 @@ def _self_mask(R, ip):
     return iota[None, None, :] != ip[:, None, None]
 
 
+def _tp_constrain(system: System, x):
+    """Tensor-parallel sharding annotation for a pair tensor whose PARTNER
+    axis is -2 (xij [..., N, D] blocks).
+
+    When the system carries a tp mesh (cfg.mesh_pairs > 1), the partner
+    axis is constrained to the mesh's 'tp' axis (walker axis 0 to 'dp' when
+    present), so GSPMD partitions every elementwise op of the pair chain
+    across tp devices and turns the partner-axis reductions into psums over
+    ICI — each tp device evaluates N/tp partner columns (SURVEY.md §2.3 TP;
+    the reference's O(Np) partner loops, vpi_mod.f90:2697-2823).  No-op
+    without a mesh.
+    """
+    mesh = system.tp_mesh
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = [None] * x.ndim
+    spec[x.ndim - 2] = "tp"
+    if x.ndim >= 4:
+        spec[0] = "dp"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 def _pair_terms(system: System, x, R, ip):
     """Displacements of x[..., B, D] against all partners R[..., B, N, D].
 
@@ -62,7 +87,7 @@ def _pair_terms(system: System, x, R, ip):
     image applied under PBC.  r is 1.0 at masked slots (safe for 1/r).
     Works single-walker ([B, ...]) and batched ([W, B, ...]).
     """
-    xij = x[..., None, :] - R  # [..., B, N, D]
+    xij = _tp_constrain(system, x[..., None, :] - R)  # [..., B, N, D]
     if system.pbc:
         xij, rij2 = minimum_image(xij, system.geo.Lbox)
     else:
@@ -110,7 +135,7 @@ def force_field(system: System, tables: Tables, R):
     (x_i - x_j)/r_ij (vpi_mod.f90:2733-2743)."""
     geo, cfg = system.geo, system.cfg
     N = R.shape[-2]
-    xij = R[..., :, None, :] - R[..., None, :, :]
+    xij = _tp_constrain(system, R[..., :, None, :] - R[..., None, :, :])
     if system.pbc:
         xij, rij2 = minimum_image(xij, geo.Lbox)
     else:
@@ -308,126 +333,154 @@ def delta_action(system: System, tables: Tables, R, xnew, xold, ip, ib,
     return dS
 
 
-def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
-                     start_parity: Optional[int] = None, fold=None):
-    """Summed window action delta — the optimized hot path.
+def chin_weights(system: System, ib, dtype):
+    """Per-bead Chin opt=0 weights from bead indices (global_mod.f90:33-46 +
+    the UpdateAction placement rules, vpi_mod.f90:2509-2525):
 
-    Exploits three structural facts of the Chin action over a contiguous
-    (or bead-reversed) window:
-      * bead parity alternates along the window, so the odd beads (the only
-        ones needing the F^2 force pass) are every second row — evaluated
-        with the fused v+dv kernel on a half-size subset;
-      * even beads need the potential only;
-      * the trial-WF terms live exclusively on beads 0 and 2*Nb
-        (vpi_mod.f90:2519-2525), which can only be the window's first or
-        last row — so the O(N) Jastrow pass runs on at most 2 rows.
-
-    start_parity: parity of ib[0] when known statically (all sampler windows
-    are even-aligned, see ops/moves.py) — turns the subset selection into
-    static strided slices.  None falls back to dynamic gathers
-    (single-walker only).
-
-    Shapes: R [..., B, N, D]; xnew/xold [..., B, D]; ib [..., B].
-    Returns the window sum with the batch shape (scalar single-walker,
-    [W] batched).  Numerically identical to summing delta_action over the
-    window's bead axis.
+      wv   — potential weight: ends dt/3, even interior 2dt/3, odd 4dt/3
+      wf   — F^2 weight: odd interior (4dt/3)*dt^2/6, zero elsewhere
+      wpsi — trial-WF indicator: 1 at beads 0 and 2*Nb, else 0
     """
     M = system.M
     dt = system.cfg.dt
     ib = jnp.asarray(ib)
-    B = R.shape[-3]
-    dtype = xnew.dtype
+    interior = (ib > 0) & (ib < M - 1)
+    odd = interior & (ib % 2 == 1)
+    even_i = interior & (ib % 2 == 0)
+    wv = jnp.where(odd, 4.0 * dt / 3.0,
+                   jnp.where(even_i, 2.0 * dt / 3.0, dt / 3.0)).astype(dtype)
+    wf = jnp.where(odd, 2.0 * dt ** 3 / 9.0, 0.0).astype(dtype)
+    wpsi = (~interior).astype(dtype)
+    return wv, wf, wpsi
 
-    if B == 1:
-        assert fold is None, "fold requires a multi-bead window (B > 1)"
-        return jnp.sum(delta_action(system, tables, R, xnew, xold, ip, ib),
-                       axis=-1)
+
+def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
+                      fold=None, need_wf: bool = True):
+    """Per-bead action-delta contributions — the optimized hot-path core.
+
+    ONE fused pair pass over ALL window beads: per row, the potential sum,
+    the moved particle's force (for the Chin F^2 term), and — when the
+    window can contain a chain end (need_wf) — the Jastrow log-sum, all
+    from a single read of the partner block R.  The per-bead Chin weights
+    (chin_weights, from the traced ib) mask each term into the row values:
+
+        dS_b = wv_b dPot_b + wf_b dF2_b - wpsi_b dLogPsi_b
+
+    This replaces the round-2 odd/even strided-subset design: on TPU the
+    pair arithmetic is essentially free next to the HBM traffic of reading
+    the window, so evaluating V' and u on rows whose weight is zero costs
+    nothing, while the single pass halves the number of sequential kernels
+    and eliminates the strided-layout copies (measured 1.7-2.8x faster per
+    move at W=4096, docs/VALIDATION.md 'Performance').
+
+    fold [..., B, N, D]: per-particle force-field cache rows aligned with
+    the window's beads (ALL of them, not just odd — the cache is
+    maintained at every bead) — switches the F^2 term to the exact-Chin
+    cached form (delta_pot_cached semantics) and returns (dS_rows, dfield)
+    with the per-row cache increment for accepted moves.
+
+    Without fold: cfg.exact_f2 selects the brute-force full-field O(N^2 B)
+    df2 (validation / worm-phase path); otherwise the reference's partial
+    moved-particle form (vpi_mod.f90:2825).
+
+    Shapes: R [..., B, N, D]; xnew/xold [..., B, D]; ib [..., B].
+    Returns dS_rows [..., B] (sum == the dense delta_action sum).
+    """
+    geo, cfg = system.geo, system.cfg
+    dtype = xnew.dtype
+    wv, wf, wpsi = chin_weights(system, ib, dtype)
+
+    with_pair_forces = fold is not None
+
+    if not with_pair_forces and not cfg.exact_f2 and cfg.use_pallas \
+            and jnp.ndim(R) == 4 and not cfg.trap:
+        from .pallas_kernels import pallas_rows_ok, pair_rows_pallas
+        if pallas_rows_ok(system, R):
+            dpot, df2, du = pair_rows_pallas(system, R, xnew, xold, ip,
+                                             need_wf)
+            dS = (wv * dpot + wf * df2).astype(dtype)
+            if need_wf:
+                dS = dS - (wpsi * du).astype(dtype)
+            return dS
+
+    def side(x):
+        notself, rij2, r, xij = _pair_terms(system, x, R, ip)
+        rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
+        m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
+        # exact-coincidence guard: at rij == 0 the force direction (and the
+        # Jastrow) are singular; mask them (the potential keeps its clamped
+        # hard-core wall, so overlaps still reject) — without this, rows
+        # whose Chin weight is ZERO would still poison the sum via 0 * inf
+        mf = m & (rij2 > 0.0)
+        vv, dv = _v_dv_of_r(system, tables, r, rinv)
+        pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)          # [..., B]
+        fr = jnp.where(mf, dv * rinv, 0.0)
+        fpair = fr[..., None] * xij                            # [..., B, N, D]
+        F = jnp.sum(fpair, axis=-2)                            # [..., B, D]
+        if cfg.trap:
+            pot = pot + jas.trap_pot(cfg.a_ho, x)
+            F = F + jas.trap_pot_grad(cfg.a_ho, x)
+        f2 = jnp.sum(F * F, axis=-1)
+        usum = None
+        if need_wf:
+            u = jnp.where(mf, _u_of_r(system, tables, r), 0.0)
+            usum = jnp.sum(u, axis=-1)
+            if cfg.trap:
+                usum = usum + jas.trap_psi(cfg.a_ho, x)
+        return pot, F, f2, fpair if with_pair_forces else None, usum
+
+    pot_n, F_n, f2_n, fp_n, u_n = side(xnew)
+    pot_o, F_o, f2_o, fp_o, u_o = side(xold)
 
     dfield = None
-    if start_parity is not None:
-        # static strided subsets: odd beads at positions (1-start_parity)::2
-        po = (1 - start_parity) % 2
-        pe = start_parity % 2
-        if fold is not None:
-            # force-field-cached exact Chin F^2 (rows must align with the
-            # odd subset); returns the field increment for accepted moves
-            dpot_o, df2_o, dfield = delta_pot_cached(
-                system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
-                xold[..., po::2, :], ip, fold)
-        else:
-            dpot_o, df2_o = delta_pot(
-                system, tables, R[..., po::2, :, :], xnew[..., po::2, :],
-                xold[..., po::2, :], ip, with_force=True)
-        dS = jnp.sum((4.0 * dt / 3.0) * dpot_o
-                     + (2.0 * dt ** 3 / 9.0) * df2_o, axis=-1)
-        dpot_e, _ = delta_pot(
-            system, tables, R[..., pe::2, :, :], xnew[..., pe::2, :],
-            xold[..., pe::2, :], ip, with_force=False)
-        ib_e = ib[..., pe::2]
-        interior_e = (ib_e > 0) & (ib_e < M - 1)
-        wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
-        dS = dS + jnp.sum(wv_e * dpot_e, axis=-1)
+    if with_pair_forces:
+        # exact Chin F^2 via the cache: moving ip changes F_ip entirely and
+        # partner j by the pair component dg_j (delta_pot_cached docstring)
+        dg = -(fp_n - fp_o)
+        df2 = (f2_n - f2_o
+               + jnp.sum(2.0 * fold * dg + dg * dg, axis=(-1, -2)))
+        sel = ~_self_mask(R, ip)[..., None]
+        dfield = jnp.where(sel, (F_n - F_o)[..., None, :], dg)
+    elif cfg.exact_f2:
+        # exact Chin F^2 without a cache: brute-force full-field difference
+        # (O(N^2 B) validation path, f2_cache=False / worm-phase moves)
+        notself = _self_mask(R, ip)
+        sel = ~notself[..., None]
+        Rn = jnp.where(sel, xnew[..., None, :], R)
+        _, f2n_full = pair_pot(system, tables, Rn, with_force=True)
+        _, f2o_full = pair_pot(system, tables, R, with_force=True)
+        df2 = f2n_full - f2o_full
     else:
-        if R.ndim != 3:
-            raise ValueError("dynamic-parity path supports single-walker "
-                             "windows only; pass start_parity when batched")
-        Bh = (B + 1) // 2
-        k = jnp.arange(Bh)
-        ib0 = ib[0]
-        p_odd = ((ib0 + 1) % 2) + 2 * k
-        p_even = (ib0 % 2) + 2 * k
-        v_odd = p_odd < B
-        v_even = p_even < B
-        p_odd_c = jnp.minimum(p_odd, B - 1)
-        p_even_c = jnp.minimum(p_even, B - 1)
+        df2 = f2_n - f2_o
 
-        dpot_o, df2_o = delta_pot(system, tables, R[p_odd_c], xnew[p_odd_c],
-                                  xold[p_odd_c], ip, with_force=True)
-        dS_o = (4.0 * dt / 3.0) * dpot_o + (2.0 * dt ** 3 / 9.0) * df2_o
-        dS = jnp.sum(jnp.where(v_odd, dS_o, 0.0))
-
-        dpot_e, _ = delta_pot(system, tables, R[p_even_c], xnew[p_even_c],
-                              xold[p_even_c], ip, with_force=False)
-        ib_e = ib[p_even_c]
-        interior_e = (ib_e > 0) & (ib_e < M - 1)
-        wv_e = jnp.where(interior_e, 2.0 * dt / 3.0, dt / 3.0)
-        dS = dS + jnp.sum(jnp.where(v_even, wv_e * dpot_e, 0.0))
-
-    # chain-end WF terms: only window rows 0 and B-1 can be beads 0 / 2*Nb
-    rows = jnp.array([0, B - 1])
-    is_end = (jnp.take(ib, rows, axis=-1) == 0) | \
-             (jnp.take(ib, rows, axis=-1) == M - 1)
-    dwf = delta_wf(system, tables, jnp.take(R, rows, axis=-3),
-                   jnp.take(xnew, rows, axis=-2),
-                   jnp.take(xold, rows, axis=-2), ip)
-    dS = dS - jnp.sum(jnp.where(is_end, dwf, 0.0), axis=-1)
-    if fold is not None:
-        return dS.astype(dtype), dfield
-    return dS.astype(dtype)
+    dS = (wv * (pot_n - pot_o) + wf * df2).astype(dtype)
+    if need_wf:
+        dS = dS - (wpsi * (u_n - u_o)).astype(dtype)
+    if with_pair_forces:
+        return dS, dfield
+    return dS
 
 
-def delta_action_level(system: System, tables: Tables, R, xnew, xold, ip,
-                       odd_beads: bool, fold=None):
-    """Summed action delta for a bisection level's midpoints.
+def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
+                     start_parity: Optional[int] = None, fold=None,
+                     need_wf: bool = True, row_weights=None):
+    """Summed window action delta (see delta_action_rows).
 
-    Midpoints are never chain ends (no WF pass) and — with even-aligned
-    windows — share one static parity: the finest level's midpoints are odd
-    (carry the F^2 term), all coarser levels even (potential only).
-    fold (odd levels only): force-field cache rows -> returns (dS, dfield).
+    start_parity is accepted for backward compatibility and ignored (the
+    weights come from the traced ib).  row_weights [..., B] (optional)
+    scales each row's whole dS contribution (the worm center's 1/2 weight,
+    vpi_mod.f90:1573-1577).
     """
-    dt = system.cfg.dt
-    if odd_beads:
-        if fold is not None:
-            dpot, df2, dfield = delta_pot_cached(system, tables, R, xnew,
-                                                 xold, ip, fold)
-            return jnp.sum((4.0 * dt / 3.0) * dpot
-                           + (2.0 * dt ** 3 / 9.0) * df2, axis=-1), dfield
-        dpot, df2 = delta_pot(system, tables, R, xnew, xold, ip,
-                              with_force=True)
-        return jnp.sum((4.0 * dt / 3.0) * dpot
-                       + (2.0 * dt ** 3 / 9.0) * df2, axis=-1)
-    dpot, _ = delta_pot(system, tables, R, xnew, xold, ip, with_force=False)
-    return jnp.sum((2.0 * dt / 3.0) * dpot, axis=-1)
+    del start_parity
+    out = delta_action_rows(system, tables, R, xnew, xold, ip, ib,
+                            fold=fold, need_wf=need_wf)
+    rows = out[0] if fold is not None else out
+    if row_weights is not None:
+        rows = rows * row_weights
+    dS = jnp.sum(rows, axis=-1)
+    if fold is not None:
+        return dS, out[1]
+    return dS
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +503,33 @@ def pair_pot(system: System, tables: Tables, R, with_force: bool = False):
             return pair_pot_pallas(system, R, with_force)
 
     N = R.shape[-2]
-    xij = R[..., :, None, :] - R[..., None, :, :]  # [N, N, D]
+    if jnp.ndim(R) == 4:
+        # keep the materialized [W, B, N, N, D] pair block bounded: chunk
+        # the bead axis when it would exceed ~1 GB (per-bead outputs are
+        # independent, so chunking is value-exact)
+        W, B = R.shape[0], R.shape[1]
+        ntp = system.tp_mesh.shape.get("tp", 1) if system.tp_mesh else 1
+        budget = 2 ** 28 * ntp  # f32 elements across tp shards
+        if W * B * N * N * R.shape[-1] > budget:
+            chunk = max(1, budget // max(W * N * N * R.shape[-1], 1))
+            nc = -(-B // chunk)
+            pot = jnp.zeros((W, B), R.dtype)
+            f2 = jnp.zeros((W, B), R.dtype)
+
+            def body(c, carry):
+                pot, f2 = carry
+                Rc = lax.dynamic_slice_in_dim(
+                    R, c * chunk, chunk, axis=1)  # clamped at the tail
+                p, f = pair_pot(system, tables, Rc, with_force)
+                pot = lax.dynamic_update_slice_in_dim(pot, p, c * chunk, 1)
+                f2 = lax.dynamic_update_slice_in_dim(f2, f, c * chunk, 1)
+                return pot, f2
+
+            # XLA clamps out-of-range dynamic slices, so the tail chunk
+            # re-evaluates a few rows — exact, just slightly redundant
+            return lax.fori_loop(0, nc, body, (pot, f2))
+
+    xij = _tp_constrain(system, R[..., :, None, :] - R[..., None, :, :])
     if system.pbc:
         xij, rij2 = minimum_image(xij, geo.Lbox)
     else:

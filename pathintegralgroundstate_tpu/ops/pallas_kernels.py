@@ -170,6 +170,146 @@ def _pot_kernel(system, with_force, Rt_ref, pot_ref, f2_ref):
 
 
 # ---------------------------------------------------------------------------
+# Transpose-free fused window kernel (round 3)
+# ---------------------------------------------------------------------------
+#
+# The round-2 kernels above put flattened rows on the LANE axis, which
+# requires transposing R [W, B, N, D] -> [D, N, rows] before every call —
+# measured at ~3 ms per move at W=4096, dwarfing the pair arithmetic and
+# making the jnp path faster.  The rows kernel below avoids all layout
+# changes: inputs are CHANNEL-SPLIT planes R[..., k] reshaped to [rows, N]
+# (XLA fuses the D strided slices into one read of R), rows ride the
+# sublane axis, partners the lane axis, and per-row outputs are [rows, 1]
+# blocks.  One call evaluates BOTH Metropolis sides of a whole move window
+# — potential, moved-particle force, and (optionally) the Jastrow log-sum —
+# entirely in VMEM: the only HBM traffic is one compact read of the window.
+
+TILE_R = 256
+
+
+def _rows_kernel(system, need_wf, nd, *refs):
+    """Per-row (dpot, df2[, du]) of xnew/xold vs partners — both sides fused.
+
+    refs: R_k x nd [TR, N]; xn_k, xo_k x nd [TR, 1]; ip [TR, 1] (i32);
+    outs: dpot, df2 (+ du) [TR, 1].
+    """
+    R_refs = refs[:nd]
+    xn_refs = refs[nd:2 * nd]
+    xo_refs = refs[2 * nd:3 * nd]
+    ip_ref = refs[3 * nd]
+    outs = refs[3 * nd + 1:]
+    N = R_refs[0].shape[1]
+    dtype = R_refs[0].dtype
+    geo = system.geo
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, N), 1)
+    notself = iota_n != ip_ref[:, 0][:, None]
+
+    def side(x_refs):
+        r2 = None
+        dxs = []
+        for k in range(nd):
+            dx = x_refs[k][:, 0][:, None] - R_refs[k][:, :]   # [TR, N]
+            if system.pbc:
+                L = jnp.asarray(geo.Lbox[k], dtype)
+                half = jnp.asarray(0.5 * geo.Lbox[k], dtype)
+                dx = jnp.where(dx > half, dx - L, dx)
+                dx = jnp.where(dx < -half, dx + L, dx)
+            dxs.append(dx)
+            r2 = dx * dx if r2 is None else r2 + dx * dx
+        r2s = jnp.where(notself, r2, 1.0)
+        rinv = jax.lax.rsqrt(r2s)
+        r = r2s * rinv
+        m = notself & (r2 <= jnp.asarray(geo.rcut2, dtype)) \
+            if system.pbc else notself
+        mf = m & (r2 > 0.0)  # exact-coincidence guard (see delta_action_rows)
+        try:
+            v, dv = system.potential.v_dv(r, rinv)
+        except TypeError:
+            v, dv = system.potential.v_dv(r)
+        pot = jnp.sum(jnp.where(m, v, 0.0), axis=1)           # [TR]
+        fr = jnp.where(mf, dv * rinv, 0.0)
+        f2 = jnp.zeros((TILE_R,), dtype)
+        for k in range(nd):
+            Fk = jnp.sum(fr * dxs[k], axis=1)
+            f2 = f2 + Fk * Fk
+        usum = None
+        if need_wf:
+            u = system.u(r)
+            usum = jnp.sum(jnp.where(mf, u, 0.0), axis=1)
+        return pot, f2, usum
+
+    pot_n, f2_n, u_n = side(xn_refs)
+    pot_o, f2_o, u_o = side(xo_refs)
+    outs[0][:, 0] = pot_n - pot_o
+    outs[1][:, 0] = f2_n - f2_o
+    if need_wf:
+        outs[2][:, 0] = u_n - u_o
+
+
+def pallas_rows_ok(system, R) -> bool:
+    """Whether the fused rows kernel applies (the delta_action_rows hot
+    path): TPU backend, PBC, closed-form V and u, no tp partitioning."""
+    cfg = system.cfg
+    return (cfg.use_pallas and system.pbc and not cfg.v_table
+            and not cfg.wf_table and system.tp_mesh is None
+            and R.ndim == 4 and _backend_ok())
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def pair_rows_pallas(system, R, xnew, xold, ip, need_wf: bool):
+    """Fused per-row (dpot, df2[, du]) for R [W, B, N, D], x [W, B, D].
+
+    ip: scalar, [W], or [W, B].  Returns [W, B] arrays (du None unless
+    need_wf).  The channel-split reshapes are layout-preserving; no
+    transposes anywhere.
+    """
+    W, B, N, D = R.shape
+    dtype = R.dtype
+    rows = W * B
+    rows_p = ((rows + TILE_R - 1) // TILE_R) * TILE_R
+    pad = rows_p - rows
+
+    def prep(a, lastdim):
+        a = a.reshape(rows, lastdim)
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        return a
+
+    ins = [prep(R[..., k], N) for k in range(D)]
+    ins += [prep(xnew[..., k], 1) for k in range(D)]
+    ins += [prep(xold[..., k], 1) for k in range(D)]
+    ip = jnp.asarray(ip, jnp.int32)
+    if ip.ndim == 0:
+        ip_rows = jnp.full((rows, 1), ip, jnp.int32)
+    elif ip.ndim == 2:
+        ip_rows = ip.reshape(rows, 1)
+    else:
+        ip_rows = jnp.broadcast_to(ip[:, None], (W, B)).reshape(rows, 1)
+    if pad:
+        ip_rows = jnp.pad(ip_rows, ((0, pad), (0, 0)))
+    ins.append(ip_rows)
+
+    n_out = 3 if need_wf else 2
+    spec_r = pl.BlockSpec((TILE_R, N), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_1 = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_rows_kernel, system, need_wf, D)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows_p // TILE_R,),
+        in_specs=[spec_r] * D + [spec_1] * (2 * D + 1),
+        out_specs=[spec_1] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows_p, 1), dtype)] * n_out,
+    )(*ins)
+    outs = [o[:rows, 0].reshape(W, B) for o in outs]
+    if need_wf:
+        return outs[0], outs[1], outs[2]
+    return outs[0], outs[1], None
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
@@ -178,9 +318,14 @@ def _backend_ok() -> bool:
 
 
 def pallas_ok(system, R) -> bool:
-    """Whether the fused delta/pot kernels apply to this configuration."""
+    """Whether the fused delta/pot kernels apply to this configuration.
+
+    Tensor-parallel runs (system.tp_mesh) use the jnp path: pallas_call is
+    opaque to GSPMD, so only the jnp pair chain can be partitioned over the
+    'tp' axis (ops/pairwise._tp_constrain)."""
     cfg = system.cfg
     return (cfg.use_pallas and system.pbc and not cfg.v_table
+            and system.tp_mesh is None
             and R.ndim == 4 and R.shape[-2] % 8 == 0 and _backend_ok())
 
 
@@ -188,6 +333,7 @@ def pallas_ok_wf(system, R) -> bool:
     """Same, for the Jastrow kernel (needs the closed-form u)."""
     cfg = system.cfg
     return (cfg.use_pallas and system.pbc and not cfg.wf_table
+            and system.tp_mesh is None
             and R.ndim == 4 and R.shape[-2] % 8 == 0 and _backend_ok())
 
 

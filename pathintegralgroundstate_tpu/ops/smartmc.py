@@ -40,7 +40,7 @@ def mala_move(system: System, tables: Tables, key, paths, active, eps,
     """One MALA update of the whole ensemble: paths[W, M, N, D] -> (paths',
     accepted[W]).  active masks walkers (diagonal sector).
 
-    fodd (optional): odd-bead force-field cache; a whole-path move
+    fodd (optional): all-bead force-field cache; a whole-path move
     invalidates every row, so accepted walkers get a fresh field
     (total_action already uses the exact full F^2, so MALA is consistent
     with the exact_f2 sampling semantics)."""
@@ -69,13 +69,12 @@ def mala_move(system: System, tables: Tables, key, paths, active, eps,
     paths = jnp.where(acc[:, None, None, None], prop, paths)
     if fodd is not None:
         from .pairwise import force_field
-        M = paths.shape[1]
 
         # a whole-path move invalidates every cache row of an accepted
         # walker; skip the O(N^2 M) field pass entirely on steps where no
         # walker accepted (late-chain MALA acceptance can be low)
         def refresh(f):
-            f_new = force_field(system, tables, paths[:, 1:M - 1:2])
+            f_new = force_field(system, tables, paths)
             return jnp.where(acc[:, None, None, None], f_new, f)
 
         fodd = jax.lax.cond(jnp.any(acc), refresh, lambda f: f, fodd)

@@ -95,16 +95,17 @@ def open_chain(system: System, tables: Tables, key, paths, xend, ip,
     chain = get_chain(paths, ip)
     dS_base = -jnp.log(jnp.asarray(cfg.CWorm * geo.density, chain.dtype))
 
+    oh_ls = (jnp.arange(Lmax - 1) == Ls[:, None]).astype(chain.dtype)
+
     def run(half1_static):
         seg, R_seg, ib_seg = _half_segments(system, paths, chain,
                                             half1_static, Lmax)
-        anchor = jnp.take_along_axis(seg, Ls[:, None, None], axis=1)[:, 0]
+        anchor = jnp.einsum("wld,wl->wd", seg, oh_ls)
         rij2 = _gap_rij2(system, seg[:, 0], anchor)
         dK = _broken_link_k(system, rij2, Ls)
-        seg_new, dS0, dSr = segment_regrow(
-            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 0.5,
-            start_parity=Nb % 2)
-        return seg, seg_new, dS0 + dSr, dK
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 0.5)
+        return seg, seg_new, dS, dK
 
     sA_old, sA_new, dsA, dkA = run(True)
     sB_old, sB_new, dsB, dkB = run(False)
@@ -138,19 +139,20 @@ def close_chain(system: System, tables: Tables, key, paths, xend, ip,
 
     chain = get_chain(paths, ip)
     dS_base = jnp.log(jnp.asarray(cfg.CWorm * geo.density, chain.dtype))
+    oh_ls = (jnp.arange(Lmax - 1) == Ls[:, None]).astype(chain.dtype)
 
     def run(half1_static):
         seg, R_seg, ib_seg = _half_segments(system, paths, chain,
                                             half1_static, Lmax)
         pin = xend[:, 1] if half1_static else xend[:, 0]
-        seg_new, dS0, dSr = segment_regrow(
+        seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin", 0.5,
-            first_pos=pin, start_parity=Nb % 2)
+            first_pos=pin)
         # closed-gap kinetic term from the NEW positions (vpi_mod.f90:2205-19)
-        anchor = jnp.take_along_axis(seg_new, Ls[:, None, None], axis=1)[:, 0]
+        anchor = jnp.einsum("wld,wl->wd", seg_new, oh_ls)
         rij2 = _gap_rij2(system, seg_new[:, 0], anchor)
         dK = _broken_link_k(system, rij2, Ls)
-        return seg, seg_new, dS0 + dSr, dK
+        return seg, seg_new, dS, dK
 
     sA_old, sA_new, dsA, dkA = run(True)
     sB_old, sB_new, dsB, dkB = run(False)
@@ -183,16 +185,17 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     ii = Nb - Ls  # [W]
 
     # kinetic weights of every particle's bead ii against the worm tail
-    R_ii = jnp.take_along_axis(
-        paths, ii[:, None, None, None], axis=1)[:, 0]   # [W, N, D]
+    # (one-hot contraction over beads; per-row gathers serialize on TPU)
+    oh_ii = (jnp.arange(M) == ii[:, None]).astype(paths.dtype)   # [W, M]
+    R_ii = jnp.einsum("wmnd,wm->wnd", paths, oh_ii)              # [W, N, D]
     rij2_w = _gap_rij2(system, R_ii, xend[:, 1][:, None, :])  # [W, N]
     logits = -0.5 * rij2_w / (Lf[:, None] * dt)
     Sw = jnp.sum(jnp.exp(logits), axis=-1)
     ik = jax.random.categorical(k_pick, logits).astype(jnp.int32)  # [W]
 
     # reverse weights against the partner's central bead (vpi_mod.f90:2352-71)
-    x_ik_nb = jnp.take_along_axis(
-        paths[:, Nb], ik[:, None, None], axis=1)[:, 0]  # [W, D]
+    oh_ik = (jnp.arange(N) == ik[:, None]).astype(paths.dtype)   # [W, N]
+    x_ik_nb = jnp.einsum("wnd,wn->wd", paths[:, Nb], oh_ik)      # [W, D]
     rij2_k = _gap_rij2(system, R_ii, x_ik_nb[:, None, :])
     Sk = jnp.sum(jnp.exp(-0.5 * rij2_k / (Lf[:, None] * dt)), axis=-1)
 
@@ -209,9 +212,9 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     seg = chain_ik[:, Nb - Lb: Nb + 1][:, ::-1]
     R_seg = paths[:, Nb - Lb: Nb + 1][:, ::-1]
     ib_seg = jnp.broadcast_to(jnp.arange(Nb, Nb - Lb - 1, -1), (W, Lb + 1))
-    seg_new, _, dSr = segment_regrow(
+    seg_new, dSr = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
-        first_pos=xend[:, 1], start_parity=Nb % 2)
+        first_pos=xend[:, 1])
     acc = ok & metropolis(k_acc, dSr)
 
     chain_ik_regrown = chain_ik.at[:, Nb - Lb: Nb + 1].set(seg_new[:, ::-1])

@@ -79,10 +79,10 @@ def _shard_move(system: System, tables: Tables, key, paths_l, halo, ip,
     ib_seg = (offset + ii + jnp.arange(L + 1))[None, :].astype(jnp.int32)
     ib_seg = jnp.broadcast_to(ib_seg, (W, L + 1))
     Ls = jnp.full((W,), L, jnp.int32)
-    seg_new, dS0, dSr = segment_regrow(
+    seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        start_parity=0, fixed_L=L)
-    acc = metropolis(k_acc, dS0 + dSr)
+        fixed_L=L)
+    acc = metropolis(k_acc, dS)
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     # write interior beads back (indices ii+1 .. ii+L-1, all owned)
     chain_l = jnp.take(paths_l, jnp.asarray(ip), axis=2)   # [W, Mloc, D]

@@ -230,10 +230,12 @@ class Sweeper:
             do_close = isopen & (iupdate == 0)
             paths, xend, closed = self.v_close(
                 self._mk(k_step, 1), paths, xend, iworm, do_close, self.Lstag)
-            # permutation bookkeeping: histogram the ended cycle
-            perm_hist = perm_hist + jnp.zeros_like(perm_hist).at[
-                jnp.clip(iperm - 1, 0, Np - 1)].add(
-                jnp.where(closed, 1.0, 0.0))
+            # permutation bookkeeping: histogram the ended cycle (one-hot
+            # sum, not scatter — per-row scatters serialize on TPU)
+            onehot = (jnp.clip(iperm - 1, 0, Np - 1)[:, None]
+                      == jnp.arange(Np))
+            perm_hist = perm_hist + jnp.sum(
+                jnp.where(closed[:, None] & onehot, 1.0, 0.0), axis=0)
             isopen = isopen & ~closed
 
             do_open = (~isopen) & (~closed) & (iupdate == 1)
@@ -259,16 +261,16 @@ class Sweeper:
         do_cm = (state.step % max(cfg.CMFreq, 1)) == 0
         delta = system.geo.delta_cm
 
-        # exact-F^2 force-field cache (ops/pairwise.delta_pot_cached):
-        # recomputed fresh each step AFTER the open/close updates, carried
-        # through the diagonal move loops, discarded before the worm phase
-        # (whose moves use the brute-force exact branch).  One field pass
-        # per step ~= one ThermEnergy sweep.
+        # exact-F^2 force-field cache (ops/pairwise.delta_action_rows):
+        # the per-bead force field at EVERY bead, recomputed fresh each step
+        # AFTER the open/close updates, carried through the diagonal move
+        # loops, discarded before the worm phase (whose moves use the
+        # brute-force exact branch).  One field pass per step ~= one
+        # ThermEnergy sweep.
         use_fcache = cfg.exact_f2 and cfg.f2_cache and self.fused_diag
         if use_fcache:
             from .ops.pairwise import force_field
-            M = system.M
-            fodd = force_field(system, self.tables, paths[:, 1:M - 1:2])
+            fodd = force_field(system, self.tables, paths)
         else:
             fodd = None
 
@@ -428,8 +430,8 @@ class Sweeper:
                     ctr = ctr.at[_CIDX["acc_swap"]].add(
                         _i32sum(acc_sw))
                     # permutation-cycle bookkeeping (sample_mod.f90:556-581)
-                    already = jnp.take_along_axis(
-                        in_cycle, partner[:, None], axis=1)[:, 0]
+                    oh_p = jax.nn.one_hot(partner, Np, dtype=bool)
+                    already = jnp.any(in_cycle & oh_p, axis=1)
                     grow = acc_sw & ~already
                     iperm = iperm + grow.astype(jnp.int32)
                     in_cycle = in_cycle | (
@@ -438,7 +440,10 @@ class Sweeper:
                 if not cfg.trap:
                     ibin, wpw, valid = self.v_obdm(xend)  # [W], [W,Npw+1], [W]
                     contrib = wpw * (act & valid)[:, None].astype(wpw.dtype)
-                    nrho = nrho.at[:, ibin].add(contrib.T)
+                    # one-hot matmul instead of scatter-add (MXU-friendly)
+                    onehot_b = (ibin[:, None]
+                                == jnp.arange(cfg.Nbin)).astype(wpw.dtype)
+                    nrho = nrho + contrib.T @ onehot_b
                 return paths, xend, in_cycle, iperm, ctr, nrho
 
             paths, xend, in_cycle, iperm, ctr, nrho = lax.fori_loop(

@@ -34,6 +34,12 @@ class Tables(NamedTuple):
 class System:
     cfg: SimConfig
     geo: Geometry
+    # device mesh carrying a 'tp' axis when cfg.mesh_pairs > 1: the pair
+    # kernels annotate their partner-axis intermediates with
+    # with_sharding_constraint so GSPMD partitions the O(N) partner loops /
+    # O(N^2) pair sums across 'tp' and inserts the psum collectives
+    # (SURVEY.md §2.3 TP row; ops/pairwise._tp_constrain).  None = no TP.
+    tp_mesh: object = None
 
     @property
     def dtype(self):
@@ -92,8 +98,8 @@ class System:
         return jas.mcmillan_d2u(self.cfg.Rm, r)
 
 
-def make_system(cfg: SimConfig) -> System:
-    return System(cfg=cfg, geo=geometry(cfg))
+def make_system(cfg: SimConfig, tp_mesh=None) -> System:
+    return System(cfg=cfg, geo=geometry(cfg), tp_mesh=tp_mesh)
 
 
 def make_tables(system: System, dtype=None) -> Tables:

@@ -8,10 +8,10 @@ import numpy as np
 import pytest
 
 from pathintegralgroundstate_tpu.config import SimConfig
-from pathintegralgroundstate_tpu.ops.pairwise import pair_pot
+from pathintegralgroundstate_tpu.ops.pairwise import (
+    delta_action_rows, pair_pot)
 from pathintegralgroundstate_tpu.parallel.mesh import (
     make_mesh, shard_state, sharded_block_fn)
-from pathintegralgroundstate_tpu.parallel.pairtile import pair_pot_tp
 from pathintegralgroundstate_tpu.state import init_state
 from pathintegralgroundstate_tpu.sweep import Sweeper, run_block
 from pathintegralgroundstate_tpu.system import make_system, make_tables
@@ -30,19 +30,50 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-def test_pair_tile_matches_single_device():
-    cfg = _he4_small()
-    system = make_system(cfg)
-    tables = make_tables(system)
-    mesh = make_mesh(n_dp=2, n_tp=4)
-    fn_tp = pair_pot_tp(system, tables, mesh)
+def test_tp_partitions_partner_axis_and_matches():
+    """The tp annotation (ops/pairwise._tp_constrain) must make GSPMD do
+    REAL tensor-parallel work: the compiled pair kernel holds per-device
+    partner tiles of extent Np/tp and all-reduces the partial sums — and
+    the values must equal the unsharded ones exactly."""
+    cfg = _he4_small(Np=16)
+    mesh = make_mesh(n_dp=1, n_tp=8)
+    system_tp = make_system(cfg, tp_mesh=mesh)
+    system_1 = make_system(cfg)
+    tables = make_tables(system_1)
+
+    W, B, N, D = 4, 5, cfg.Np, cfg.dim
     key = jax.random.key(0)
-    R = jnp.asarray(system.geo.Lbox) * (
-        jax.random.uniform(key, (3, cfg.Np, cfg.dim), jnp.float64) - 0.5)
-    pot_tp, f2_tp = fn_tp(R)
-    pot_1, f2_1 = jax.vmap(lambda x: pair_pot(system, tables, x, True))(R)
-    np.testing.assert_allclose(np.asarray(pot_tp), np.asarray(pot_1), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(f2_tp), np.asarray(f2_1), rtol=1e-11)
+    R = jnp.asarray(system_1.geo.Lbox) * (
+        jax.random.uniform(key, (W, B, N, D), jnp.float64) - 0.5)
+    xold = R[:, :, 3, :]
+    xnew = xold + 0.05
+    ib = jnp.broadcast_to(jnp.arange(1, B + 1), (W, B))
+
+    def rows(system):
+        return lambda R, xn, xo: delta_action_rows(
+            system, tables, R, xn, xo, 3, ib)
+
+    lowered = jax.jit(rows(system_tp)).lower(R, xnew, xold)
+    hlo = lowered.compile().as_text()
+    # partial-sum reduction over the tp axis rides a collective...
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    # ...and the per-device pair tensors carry N/tp = 2 partner columns
+    assert f"{W},{B},{N // 8},{D}" in hlo.replace(" ", ""), \
+        "no partner-tiled [W,B,N/tp,D] tensor in the compiled module"
+
+    got = jax.jit(rows(system_tp))(R, xnew, xold)
+    want = jax.jit(rows(system_1))(R, xnew, xold)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12)
+
+    # the full-configuration pair sum partitions the same way
+    pp_tp = jax.jit(lambda R: pair_pot(system_tp, tables, R, True))
+    hlo2 = pp_tp.lower(R).compile().as_text()
+    assert "all-reduce" in hlo2 or "reduce-scatter" in hlo2
+    got2 = pp_tp(R)
+    want2 = jax.jit(lambda R: pair_pot(system_1, tables, R, True))(R)
+    for g, w in zip(got2, want2):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-11)
 
 
 @pytest.mark.slow
@@ -95,11 +126,15 @@ def test_driver_mesh_matches_unsharded(tmp_path):
     np.testing.assert_allclose(np.asarray(d1.state.paths),
                                np.asarray(d8.state.paths), rtol=1e-12)
 
-    # (dp=4, tp=2) factorization: tp replicates, numbers must not change
+    # (dp=4, tp=2) factorization: the partner axis is GSPMD-partitioned
+    # over tp (real work division, test_tp_partitions_partner_axis_and_
+    # matches) and the statistics must still match the unsharded run
     d42 = Driver(cfg.replace(mesh_walkers=4, mesh_pairs=2),
                  out_dir=str(tmp_path / "dp4tp2"), verbose=False)
     acc42 = d42.run(2)
     np.testing.assert_allclose(acc1["AvE"], acc42["AvE"], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(acc1["AvGr"]),
+                               np.asarray(acc42["AvGr"]), rtol=1e-10)
 
 
 def test_graft_entry_dryrun():

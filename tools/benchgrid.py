@@ -3,6 +3,9 @@
 Times one jit-compiled block of NSTEP full MC steps for each variant and
 prints bead-updates/s — the tool behind the default choices recorded in
 docs/VALIDATION.md.  Run on the real chip.
+
+Usage: python tools/benchgrid.py [W ...]     (default: 2048 4096 8192)
+       PIGS_GRID=full python tools/benchgrid.py 4096   (all variants)
 """
 
 import os
@@ -23,27 +26,35 @@ from bench import NSTEP, _bead_updates_per_step, _run  # noqa: E402
 from __graft_entry__ import _flagship_cfg  # noqa: E402
 
 
+def run_one(name, cfg, W):
+    per = _bead_updates_per_step(cfg)
+    try:
+        reps = _run(cfg, nreps=3)
+    except Exception as e:  # noqa: BLE001
+        print(f"W={W:6d} {name:28s} FAILED: {e}")
+        return
+    dt = float(np.median(reps))
+    rate = per * NSTEP * W / dt
+    print(f"W={W:6d} {name:28s} {dt/NSTEP*1e3:8.1f} ms/step   "
+          f"{rate:.3g} bead-updates/s", flush=True)
+
+
 def main():
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    base = _flagship_cfg(n_walkers=W)
-    variants = [
-        ("fused+pallas (default)", base),
-        ("fused, no pallas", base.replace(use_pallas=False)),
-        ("unfused (reference order)", base.replace(fused_sweep=False)),
-        ("fused, sta ends", base.replace(end_regrow="sta")),
-        ("fused+pallas, exact_f2", base.replace(exact_f2=True)),
-    ]
-    per = _bead_updates_per_step(base)
-    for name, cfg in variants:
-        try:
-            reps = _run(cfg, nreps=3)
-        except Exception as e:  # noqa: BLE001
-            print(f"{name:28s} FAILED: {e}")
-            continue
-        dt = float(np.median(reps))
-        rate = per * NSTEP * W / dt
-        print(f"{name:28s} {dt/NSTEP*1e3:8.1f} ms/step   "
-              f"{rate:.3g} bead-updates/s", flush=True)
+    ws = [int(a) for a in sys.argv[1:]] or [2048, 4096, 8192]
+    full = os.environ.get("PIGS_GRID", "") == "full"
+    for W in ws:
+        base = _flagship_cfg(n_walkers=W)
+        variants = [("default", base)]
+        if full:
+            variants += [
+                ("exact_f2 (cached)", base.replace(exact_f2=True)),
+                ("no pallas pair_pot", base.replace(use_pallas=False)),
+                ("sta ends", base.replace(end_regrow="sta")),
+                ("unfused (reference order)", base.replace(fused_sweep=False)),
+                ("measure_every=5", base.replace(measure_every=5)),
+            ]
+        for name, cfg in variants:
+            run_one(name, cfg, W)
 
 
 if __name__ == "__main__":
