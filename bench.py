@@ -15,12 +15,12 @@ Fortran process (same algorithm, same workload, one walker).  Measured via
 PIGS_BENCH_CPU_BASELINE=1 (takes ~10 min, dominated by compile); the stored
 constant below records the last measurement.
 
-Roofline context (docs/VALIDATION.md §perf): the hot arithmetic is the
-Aziz-II pair kernel (~45 f32 VPU flops + 2 exp per pair).  At the measured
-flagship rate the fused Pallas pair kernels sustain ~24 G pair-evals/s
-(~1.1 TFLOP/s-equivalent on the VPU); the residual step time is the
-sequential per-particle Metropolis chain (Nstag*Np*3 dependent moves/step),
-i.e. latency-bound control flow, not pair arithmetic.
+Roofline context (docs/VALIDATION.md 'Performance'): the Pallas pair_pot
+kernel sustains ~37 G Aziz-II pair-evals/s (~1.5 TFLOP/s-equivalent on the
+VPU) on the ThermEnergy sweep; the residual step time is the ~1,000-deep
+sequential per-particle Metropolis chain the algorithm prescribes
+(vpi.f90:421-439) at ~0.9 ms per move — XLA glue over the ensemble state,
+not pair arithmetic.
 """
 
 import json

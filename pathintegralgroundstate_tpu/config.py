@@ -72,9 +72,16 @@ class SimConfig:
     n_walkers: int = 64          # W: walker-ensemble size (ref: 1, vpi.f90:134)
     dtype: str = "float32"       # compute dtype on device ("float64" for CPU parity)
     potential: str = "aziz2"     # aziz2 | aziz1 | soft | dipolar | none
-    use_pallas: bool = True      # fused Pallas pair kernels (auto-gated: TPU
-                                 # backend + PBC + closed-form potential/WF;
-                                 # anything else falls back to the jnp path)
+    use_pallas: bool = True      # fused Pallas pair_pot kernel for the
+                                 # O(N^2 M) estimator sweeps (auto-gated:
+                                 # TPU backend + PBC + closed forms; falls
+                                 # back to the bead-chunked jnp path)
+    pallas_rows: bool = False    # Pallas rows kernel for the MOVE deltas.
+                                 # Off by default: measured SLOWER than the
+                                 # fused jnp window pass at flagship shapes
+                                 # (the [rows, N] channel-split copies cost
+                                 # more than the kernel saves; benchgrid
+                                 # 2026-08-21, docs/VALIDATION.md)
     mesh_walkers: int = 1        # data-parallel shards of the walker axis
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner
                                  # axis: >1 annotates the pair kernels'
@@ -127,6 +134,13 @@ class SimConfig:
                                  # False: per-walker offsets.
     bis_end_random_depth: bool = False  # reference-style random end-bisection
                                         # depths (compiles one body per depth)
+    cascade: bool = False        # experimental whole-move Pallas cascade
+                                 # kernels (ops/cascade_kernels): the full
+                                 # bisection cascade in ONE kernel.  Kept
+                                 # off by default — VMEM limits force tiny
+                                 # walker tiles and the measured flagship
+                                 # step is ~2x SLOWER than the fused rows-
+                                 # kernel composites (docs/VALIDATION.md)
 
     def __post_init__(self):
         if self.sampling not in ("sta", "bis"):

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..system import System, Tables
@@ -41,33 +42,52 @@ from .pairwise import delta_action, delta_action_rows
 
 
 def _level_geometry(ilev: int, nlev: int):
-    """Static midpoint/anchor indices of bisection level ilev of nlev."""
+    """Static midpoint geometry of bisection level ilev of nlev: the
+    midpoints are the arithmetic sequence d2, d2+delta, .. (m points) —
+    which means every level access is a STRIDED SLICE, never an
+    integer-array gather (XLA lowers small-index gathers of the big paths
+    array into full-array mini-gather passes — measured ~1.5 ms/level at
+    W=4096 before this change)."""
     delta = 2 ** (nlev - ilev + 1)
-    j = jnp.arange(1, 2 ** (ilev - 1) + 1)
-    iprev = (j - 1) * delta
-    inext = j * delta
-    icurr = (iprev + inext) // 2
-    return delta, iprev, inext, icurr
+    m = 2 ** (ilev - 1)
+    return delta, m, delta // 2
+
+
+def _strided_set(arr, upd, axis: int, d2: int, delta: int, L: int):
+    """arr with positions d2, d2+delta, ... (inside [0, L)) along `axis`
+    replaced by upd — via reshape + unit-index DUS (a strided .at[].set
+    would lower to a serializing scatter)."""
+    pre = arr.shape[:axis]
+    post = arr.shape[axis + 1:]
+    m = L // delta
+    colon = (slice(None),) * axis
+    body = arr[colon + (slice(0, L),)].reshape(pre + (m, delta) + post)
+    body = body.at[colon + (slice(None), d2)].set(upd)
+    tail = arr[colon + (slice(L, None),)]
+    return jnp.concatenate(
+        [body.reshape(pre + (L,) + post), tail], axis=axis)
 
 
 def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
-    """Midpoint gaussian proposal of one level: returns (icurr, xold, xnew).
+    """Midpoint gaussian proposal of one level: returns
+    (d2, delta, m, xold, xnew) with xold/xnew [..., m, D].
 
     seg [..., 2**nlev+1, D]; sigma = sqrt(dt_bis/2), dt_bis = delta*dt/2
     (vpi_mod.f90:905-907).
     """
     dt = system.cfg.dt
     dtype = seg.dtype
-    delta, iprev, inext, icurr = _level_geometry(ilev, nlev)
-    xold = seg[..., icurr, :]
-    xp = seg[..., iprev, :]
-    xn = seg[..., inext, :]
+    L = seg.shape[-2] - 1
+    delta, m, d2 = _level_geometry(ilev, nlev)
+    xold = seg[..., d2::delta, :]                  # midpoints   [..., m, D]
+    xp = seg[..., 0:L:delta, :]                    # left anchors
+    xn = seg[..., delta::delta, :]                 # right anchors
     g = jax.random.normal(key, xold.shape, dtype)
     sigma = jnp.sqrt(0.25 * delta * dt)
     xprev = xold + _mi(system, xp - xold)
     xnext = xold - _mi(system, xold - xn)
     xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * g)
-    return icurr, xold, xnew
+    return d2, delta, m, xold, xnew
 
 
 def bisection(system: System, tables: Tables, key, paths, ip, active,
@@ -79,25 +99,34 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     seg_len = 2 ** level
     keys = jax.random.split(key, level + 2)
     ii = _window_start(system, keys[0], W, (M - 1 - seg_len) // 2 + 1)
-    chain = get_chain(paths, ip)
-    seg0 = _slice_beads(chain, ii, seg_len + 1)
     R_seg = _slice_beads(paths, ii, seg_len + 1)
+    # the moved particle's window comes out of the ALREADY-SLICED partner
+    # block — slicing the full chain from paths forces a whole-array layout
+    # copy per iteration (measured 0.64 ms at W=4096)
+    seg0 = R_seg[:, :, ip, :]
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(seg_len + 1)
     ib_seg = jnp.broadcast_to(ib_seg, (W, seg_len + 1))
 
     seg = seg0
     alive = active
     for ilev in range(1, level + 1):
-        icurr, xold, xnew = _level_proposal(system, keys[ilev], seg, ilev,
-                                            level)
+        d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
+                                                   ilev, level)
         dS = jnp.sum(delta_action_rows(
-            system, tables, R_seg[:, icurr], xnew, xold, ip,
-            ib_seg[:, icurr], need_wf=False), axis=-1)
-        seg = seg.at[:, icurr].set(xnew)
+            system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+            ib_seg[:, d2::delta], need_wf=False), axis=-1)
+        seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
-    chain = _update_beads(chain, ii, seg_fin)
-    return set_chain(paths, ip, chain), alive
+    if jnp.ndim(ii) == 0:
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), ii, jnp.asarray(ip, jnp.int32), jnp.int32(0)))
+    else:
+        chain = get_chain(paths, ip)
+        chain = _update_beads(chain, ii, seg_fin)
+        paths = set_chain(paths, ip, chain)
+    return paths, alive
 
 
 def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
@@ -111,16 +140,14 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     seg_len = 2 ** nlev
     k_g, k_acc0, *k_lev = jax.random.split(key, nlev + 3)
 
-    chain = get_chain(paths, ip)
     if tail:
-        seg0 = chain[:, M - 1 - seg_len:][:, ::-1]
         R_seg = paths[:, M - 1 - seg_len:][:, ::-1]
         ib_seg = jnp.broadcast_to(
             jnp.arange(M - 1, M - 2 - seg_len, -1), (W, seg_len + 1))
     else:
-        seg0 = chain[:, : seg_len + 1]
         R_seg = paths[:, : seg_len + 1]
         ib_seg = jnp.broadcast_to(jnp.arange(seg_len + 1), (W, seg_len + 1))
+    seg0 = R_seg[:, :, ip, :]      # window-first chain access (see bisection)
 
     # free-gaussian guess for the terminal bead, sigma = sqrt(2**nlev*dt),
     # with its own accept gate (vpi_mod.f90:1039-1076)
@@ -136,20 +163,25 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     seg = seg0.at[:, 0].set(xnew0)
 
     for ilev in range(1, nlev + 1):
-        icurr, xold, xnew = _level_proposal(system, k_lev[ilev - 1], seg,
-                                            ilev, nlev)
+        d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
+                                                   seg, ilev, nlev)
         dS = jnp.sum(delta_action_rows(
-            system, tables, R_seg[:, icurr], xnew, xold, ip,
-            ib_seg[:, icurr], need_wf=False), axis=-1)
-        seg = seg.at[:, icurr].set(xnew)
+            system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+            ib_seg[:, d2::delta], need_wf=False), axis=-1)
+        seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
 
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
+    ip_i = jnp.asarray(ip, jnp.int32)
     if tail:
-        chain = chain.at[:, M - 1 - seg_len:].set(seg_fin[:, ::-1])
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, ::-1][:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), jnp.int32(M - 1 - seg_len), ip_i, jnp.int32(0)))
     else:
-        chain = chain.at[:, : seg_len + 1].set(seg_fin)
-    return set_chain(paths, ip, chain), alive
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    return paths, alive
 
 
 def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
@@ -222,9 +254,13 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     L = 2 ** level
     k_g, k_acc0, *k_lev = jax.random.split(key, level + 3)
 
-    chain = get_chain(paths, ip)
-    # both segments in 'head orientation': index 0 = regrown end
-    seg0 = jnp.stack([chain[:, : L + 1], chain[:, M - 1 - L:][:, ::-1]],
+    # hoist the two CONTIGUOUS windows once; every level access below
+    # slices these small blocks (strided slices of the full paths array
+    # lower to whole-array mini-gather passes — the round-3 profiling
+    # story, docs/VALIDATION.md)
+    R_head = paths[:, : L + 1]                                # [W, L+1, N, D]
+    R_tail = paths[:, M - 1 - L:][:, ::-1]
+    seg0 = jnp.stack([R_head[:, :, ip, :], R_tail[:, :, ip, :]],
                      axis=1)                                  # [W, 2, L+1, D]
     dtype = seg0.dtype
     # bead indices per segment row (head: 0..L, tail reversed: M-1..M-1-L)
@@ -237,7 +273,7 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     g = jax.random.normal(k_g, xold0.shape, dtype)
     xmid = xold0 - _mi(system, xold0 - anchor)
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g)
-    R_ends = jnp.stack([paths[:, 0], paths[:, M - 1]], axis=1)  # [W, 2, N, D]
+    R_ends = jnp.stack([R_head[:, 0], R_tail[:, 0]], axis=1)    # [W, 2, N, D]
     ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
     if fodd is not None:
         dF_seg = jnp.zeros(seg0.shape[:3] + (cfg.Np, cfg.dim), dtype)
@@ -252,35 +288,43 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     seg = seg0.at[:, :, 0].set(xnew0)
 
     for ilev in range(1, level + 1):
-        icurr, xold, xnew = _level_proposal(system, k_lev[ilev - 1], seg,
-                                            ilev, level)
-        nmid = icurr.shape[0]
-        # one batched pair kernel over BOTH segments' midpoints
+        d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
+                                                   seg, ilev, level)
+        # one batched pair kernel over BOTH segments' midpoints; all bead
+        # accesses are STRIDED SLICES (head midpoints ascend from d2, tail
+        # midpoints descend from M-1-d2 — sliced ascending then reversed)
         R_mid = jnp.concatenate(
-            [paths[:, icurr], paths[:, M - 1 - icurr]], axis=1)
+            [R_head[:, d2:L:delta], R_tail[:, d2:L:delta]], axis=1)
         ib_mid = jnp.broadcast_to(
-            ib2[:, icurr].reshape(1, 2 * nmid), (W, 2 * nmid))
-        xn2 = xnew.reshape(W, 2 * nmid, -1)
-        xo2 = xold.reshape(W, 2 * nmid, -1)
+            ib2[:, d2::delta].reshape(1, 2 * m), (W, 2 * m))
+        xn2 = xnew.reshape(W, 2 * m, -1)
+        xo2 = xold.reshape(W, 2 * m, -1)
         if fodd is not None:
+            lo_t = M - 1 - d2 - (m - 1) * delta
             fold = jnp.concatenate(
-                [fodd[:, icurr], fodd[:, M - 1 - icurr]], axis=1)
+                [fodd[:, d2:L:delta], fodd[:, lo_t:M - d2:delta][:, ::-1]],
+                axis=1)
             rows, dfield = delta_action_rows(
                 system, tables, R_mid, xn2, xo2, ip, ib_mid, fold=fold,
                 need_wf=False)
-            dF_seg = dF_seg.at[:, :, icurr].set(
-                dfield.reshape(W, 2, nmid, *dfield.shape[2:]))
+            dF_seg = _strided_set(
+                dF_seg, dfield.reshape(W, 2, m, *dfield.shape[2:]), 2, d2,
+                delta, L)
         else:
             rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
                                      ib_mid, need_wf=False)
-        dS = jnp.sum(rows.reshape(W, 2, nmid), axis=-1)
+        dS = jnp.sum(rows.reshape(W, 2, m), axis=-1)
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
-        seg = seg.at[:, :, icurr].set(xnew)
+        seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
-    chain = chain.at[:, : L + 1].set(seg_fin[:, 0])
-    chain = chain.at[:, M - 1 - L:].set(seg_fin[:, 1, ::-1])
-    paths = set_chain(paths, ip, chain)
+    ip_i = jnp.asarray(ip, jnp.int32)
+    paths = lax.dynamic_update_slice(
+        paths, seg_fin[:, 0][:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    paths = lax.dynamic_update_slice(
+        paths, seg_fin[:, 1, ::-1][:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
     if fodd is not None:
         dF_fin = jnp.where(alive[:, :, None, None, None], dF_seg, 0.0)
         fodd = fodd.at[:, : L + 1].add(dF_fin[:, 0])
@@ -340,29 +384,40 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
         dF_big = jnp.zeros_like(f_big)
 
     for ilev in range(1, level + 1):
-        icurr, xold, xnew = _level_proposal(system, keys[ilev], seg, ilev,
-                                            level)
-        nmid = icurr.shape[0]
-        # one pair kernel over all K slots' midpoints; per-row particle ids
-        idx = jnp.concatenate([k * L + icurr for k in range(K)])
-        R_mid = R_big[:, idx]                                  # [W, K*m, N, D]
-        ib_mid = jnp.broadcast_to(s + idx[None, :], (W, K * nmid))
+        d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
+                                                   ilev, level)
+        # one pair kernel over all K slots' midpoints; the slot-k midpoint
+        # beads k*L + d2 + j*delta factor through a [K, L] reshape into one
+        # strided slice (no integer-array gather of the big window)
+        idx_np = np.concatenate(
+            [k * L + np.arange(d2, L, delta) for k in range(K)])
+        R_mid = R_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)[
+            :, :, d2::delta].reshape(W, K * m, cfg.Np, cfg.dim)
+        ib_mid = s + jnp.broadcast_to(
+            jnp.asarray(idx_np)[None, :], (W, K * m))
         ip_rows = jnp.broadcast_to(
-            ip_mat[None, :, None], (W, K, nmid)).reshape(W, K * nmid)
-        xn2 = xnew.reshape(W, K * nmid, -1)
-        xo2 = xold.reshape(W, K * nmid, -1)
+            ip_mat[None, :, None], (W, K, m)).reshape(W, K * m)
+        xn2 = xnew.reshape(W, K * m, -1)
+        xo2 = xold.reshape(W, K * m, -1)
         if fodd is not None:
-            fold = f_big[:, idx]
+            fold = f_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)[
+                :, :, d2::delta].reshape(W, K * m, cfg.Np, cfg.dim)
             rows, dfield = delta_action_rows(
                 system, tables, R_mid, xn2, xo2, ip_rows, ib_mid, fold=fold,
                 need_wf=False)
-            dF_big = dF_big.at[:, idx].set(dfield)
+            # slot-factored strided write (see idx_np): [W, K, L, N, D]
+            dFr = dF_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)
+            dFr = _strided_set(dFr, dfield.reshape(W, K, m, cfg.Np, cfg.dim),
+                               2, d2, delta, L)
+            dF_big = jnp.concatenate(
+                [dFr.reshape(W, span, cfg.Np, cfg.dim), dF_big[:, span:]],
+                axis=1)
         else:
             rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
                                      ip_rows, ib_mid, need_wf=False)
-        dS = jnp.sum(rows.reshape(W, K, nmid), axis=-1)
+        dS = jnp.sum(rows.reshape(W, K, m), axis=-1)
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
-        seg = seg.at[:, :, icurr].set(xnew)
+        seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
     # write back each slot's interior beads into its particle's worldline

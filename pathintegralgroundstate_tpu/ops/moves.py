@@ -120,6 +120,36 @@ def _update_beads(chain, ii, seg):
     return chain.at[jnp.arange(W)[:, None], idx].set(seg)
 
 
+
+def _win_chain(Rw, ip, dtype):
+    """Moved particle's beads out of a partner WINDOW Rw [W, B, N, D].
+
+    ip scalar: a plain slice.  ip [W]: one-hot contraction over the window
+    only (contracting the full paths costs a whole-array pass per move)."""
+    ip = jnp.asarray(ip)
+    if ip.ndim == 0:
+        return Rw[:, :, ip, :]
+    onehot = (jnp.arange(Rw.shape[2]) == ip[:, None]).astype(dtype)
+    return jnp.einsum("wbnd,wn->wbd", Rw, onehot)
+
+
+def _win_write(paths, lo, Rw, ip, seg):
+    """Write the moved particle's window beads back (inverse of _win_chain):
+    a window-sized masked select + one dynamic-update-slice of paths."""
+    ip = jnp.asarray(ip)
+    if ip.ndim == 0:
+        return lax.dynamic_update_slice(
+            paths, seg[:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), jnp.asarray(lo, jnp.int32),
+             jnp.asarray(ip, jnp.int32), jnp.int32(0)))
+    sel = (jnp.arange(paths.shape[2])[None, :] == ip[:, None])  # [W, N]
+    blk = jnp.where(sel[:, None, :, None], seg[:, :, None, :], Rw)
+    return lax.dynamic_update_slice(
+        paths, blk.astype(paths.dtype),
+        (jnp.int32(0), jnp.asarray(lo, jnp.int32), jnp.int32(0),
+         jnp.int32(0)))
+
+
 def _window_start(system: System, key, W: int, n_opts: int):
     """Random even-aligned window offset: 2 * U{0 .. n_opts-1}.
 
@@ -370,19 +400,18 @@ def translate_half_chain(system: System, tables: Tables, key, paths, xend,
     Nb, D = cfg.Nb, cfg.dim
     W = paths.shape[0]
     k_dx, k_acc = jax.random.split(key)
-    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     lo, hi = (0, Nb + 1) if half == 1 else (Nb, 2 * Nb + 1)
+    Rw = paths[:, lo:hi]
+    xold = _win_chain(Rw, ip, paths.dtype).at[:, Nb - lo].set(
+        xend[:, half - 1])
     ib = jnp.broadcast_to(jnp.arange(lo, hi), (W, hi - lo))
-    xold = chain[:, lo:hi]
     dx = delta * (2.0 * jax.random.uniform(k_dx, (W, 1, D), paths.dtype) - 1.0)
     xnew = _wrap_pos(system, xold + dx)
-    dS = delta_action_sum(system, tables, paths[:, lo:hi], xnew, xold, ip, ib,
-                          start_parity=lo % 2)
+    dS = delta_action_sum(system, tables, Rw, xnew, xold, ip, ib)
     acc = metropolis(k_acc, dS) & active
-    seg_fin = jnp.where(acc[:, None, None], xnew, xold)
-    chain = chain.at[:, lo:hi].set(seg_fin)
-    xend = xend.at[:, half - 1].set(chain[:, Nb])
-    return set_chain(paths, ip, chain), xend, acc
+    seg_fin = jnp.where(acc[:, None, None], xnew, xold)  # pin persists
+    xend = xend.at[:, half - 1].set(seg_fin[:, Nb - lo])
+    return _win_write(paths, lo, Rw, ip, seg_fin), xend, acc
 
 
 # ---------------------------------------------------------------------------
@@ -396,9 +425,8 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
     W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
     ii = _window_start(system, k_ii, W, (M - 1 - L) // 2 + 1)
-    chain = get_chain(paths, ip)
-    seg = _slice_beads(chain, ii, L + 1)
     R_seg = _slice_beads(paths, ii, L + 1)
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS = segment_regrow(
@@ -406,6 +434,9 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
         fixed_L=L)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    if jnp.ndim(ii) == 0 and jnp.ndim(jnp.asarray(ip)) == 0:
+        return _win_write(paths, ii, R_seg, ip, seg_fin), acc
+    chain = get_chain(paths, ip)
     chain = _update_beads(chain, ii, seg_fin)
     return set_chain(paths, ip, chain), acc
 
@@ -417,13 +448,16 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     Nb = cfg.Nb
     W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
-    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     base = 0 if half == 1 else Nb
-    # even-aligned start within the half; base=Nb keeps alignment iff Nb even
-    par = base % 2
     ii = base + _window_start(system, k_ii, W, (Nb - L) // 2 + 1)
-    seg = _slice_beads(chain, ii, L + 1)
+    # pin bead Nb := xend first (persists even on rejection,
+    # vpi_mod.f90:1400-1406); interior staging never displaces it (windows
+    # live inside one half, Nb can only be a window ENDPOINT), so xend is
+    # unchanged by this move
+    pin = xend[:, half - 1]
+    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
     R_seg = _slice_beads(paths, ii, L + 1)
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     seg_new, dS = segment_regrow(
@@ -431,9 +465,13 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
         fixed_L=L)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
-    chain = _update_beads(chain, ii, seg_fin)
-    xend = xend.at[:, half - 1].set(chain[:, Nb])
-    return set_chain(paths, ip, chain), xend, acc
+    if jnp.ndim(ii) == 0:
+        paths = _win_write(paths, ii, R_seg, ip, seg_fin)
+    else:
+        chain = get_chain(paths, ip)
+        chain = _update_beads(chain, ii, seg_fin)
+        paths = set_chain(paths, ip, chain)
+    return paths, xend, acc
 
 
 # ---------------------------------------------------------------------------
@@ -451,16 +489,14 @@ def move_head(system: System, tables: Tables, key, paths, ip, active,
     W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
     Ls = _rand_ls(k_ls, W, Lmax)
-    chain = get_chain(paths, ip)
-    seg = chain[:, : Lmax + 1]
     R_seg = paths[:, : Lmax + 1]
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1))
     seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
     acc = metropolis(k_acc, dS) & active
-    chain = chain.at[:, : Lmax + 1].set(
-        jnp.where(acc[:, None, None], seg_new, seg))
-    return set_chain(paths, ip, chain), acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    return _win_write(paths, 0, R_seg, ip, seg_fin), acc
 
 
 def move_tail(system: System, tables: Tables, key, paths, ip, active,
@@ -470,17 +506,15 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
     Ls = _rand_ls(k_ls, W, Lmax)
-    chain = get_chain(paths, ip)
-    seg = chain[:, M - 1 - Lmax:][:, ::-1]
     R_seg = paths[:, M - 1 - Lmax:][:, ::-1]
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1),
                               (W, Lmax + 1))
     seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
     acc = metropolis(k_acc, dS) & active
-    chain = chain.at[:, M - 1 - Lmax:].set(
-        jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
-    return set_chain(paths, ip, chain), acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1]
+    return _win_write(paths, M - 1 - Lmax, R_seg[:, ::-1], ip, seg_fin), acc
 
 
 def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
@@ -550,19 +584,22 @@ def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
     W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
     Ls = _rand_ls(k_ls, W, Lmax)
-    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     lo = 0 if half == 1 else Nb
     w0 = 1.0 if half == 1 else 0.5
-    seg = chain[:, lo: lo + Lmax + 1]
+    pin = xend[:, half - 1]
+    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
     R_seg = paths[:, lo: lo + Lmax + 1]
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(lo + jnp.arange(Lmax + 1), (W, Lmax + 1))
     seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
     acc = metropolis(k_acc, dS) & active
-    chain = chain.at[:, lo: lo + Lmax + 1].set(
-        jnp.where(acc[:, None, None], seg_new, seg))
-    xend = xend.at[:, half - 1].set(chain[:, Nb])
-    return set_chain(paths, ip, chain), xend, acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    paths = _win_write(paths, lo, R_seg, ip, seg_fin)
+    # half=2 regrows FROM the center: an accepted move updates xend
+    if half == 2:
+        xend = xend.at[:, half - 1].set(seg_fin[:, 0])
+    return paths, xend, acc
 
 
 def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
@@ -574,17 +611,20 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
     W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
     Ls = _rand_ls(k_ls, W, Lmax)
-    chain = get_chain(paths, ip).at[:, Nb].set(xend[:, half - 1])
     hi = Nb if half == 1 else 2 * Nb  # bead being regrown (segment end)
     w0 = 0.5 if half == 1 else 1.0
     lo = hi - Lmax
-    seg = chain[:, lo: hi + 1][:, ::-1]
+    pin = xend[:, half - 1]
+    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
     R_seg = paths[:, lo: hi + 1][:, ::-1]
+    seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(hi, lo - 1, -1), (W, Lmax + 1))
     seg_new, dS = segment_regrow(
         system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
     acc = metropolis(k_acc, dS) & active
-    chain = chain.at[:, lo: hi + 1].set(
-        jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1])
-    xend = xend.at[:, half - 1].set(chain[:, Nb])
-    return set_chain(paths, ip, chain), xend, acc
+    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
+    paths = _win_write(paths, lo, R_seg[:, ::-1], ip, seg_fin[:, ::-1])
+    # half=1 regrows the CENTER bead: an accepted move updates xend
+    if half == 1:
+        xend = xend.at[:, half - 1].set(seg_fin[:, 0])
+    return paths, xend, acc

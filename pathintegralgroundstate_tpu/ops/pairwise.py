@@ -392,7 +392,7 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
 
     with_pair_forces = fold is not None
 
-    if not with_pair_forces and not cfg.exact_f2 and cfg.use_pallas \
+    if not with_pair_forces and not cfg.exact_f2 and cfg.pallas_rows \
             and jnp.ndim(R) == 4 and not cfg.trap:
         from .pallas_kernels import pallas_rows_ok, pair_rows_pallas
         if pallas_rows_ok(system, R):

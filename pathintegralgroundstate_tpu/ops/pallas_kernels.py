@@ -251,7 +251,7 @@ def pallas_rows_ok(system, R) -> bool:
     """Whether the fused rows kernel applies (the delta_action_rows hot
     path): TPU backend, PBC, closed-form V and u, no tp partitioning."""
     cfg = system.cfg
-    return (cfg.use_pallas and system.pbc and not cfg.v_table
+    return (cfg.pallas_rows and system.pbc and not cfg.v_table
             and not cfg.wf_table and system.tp_mesh is None
             and R.ndim == 4 and _backend_ok())
 

@@ -281,6 +281,11 @@ class Sweeper:
                 paths, fodd, acc = self.v_translate(
                     self._mk_t(k_step, 10, ip), paths, ip, active, delta,
                     fodd=fodd)
+            elif cfg.cascade:
+                from .ops.cascade_kernels import rigid_cascade
+                paths, acc = rigid_cascade(
+                    self.system, self.tables, self._mk_t(k_step, 10, ip),
+                    paths, ip, active, delta)
             else:
                 paths, acc = self.v_translate(
                     self._mk_t(k_step, 10, ip), paths, ip, active, delta)
@@ -344,6 +349,16 @@ class Sweeper:
                     out = self.v_fused_ends_sta(
                         self._mk_t(k_step, 20, it), paths, ip, active,
                         2 ** self.Nlev, fodd=fodd)
+                elif cfg.cascade and not use_fcache:
+                    # experimental one-kernel cascade composite
+                    # (ops/cascade_kernels; measured SLOWER than the rows-
+                    # kernel composites at flagship shapes, see
+                    # docs/VALIDATION.md 'Performance')
+                    from .ops.cascade_kernels import fused_ends_cascade
+                    out = fused_ends_cascade(
+                        self.system, self.tables,
+                        self._mk_t(k_step, 20, it), paths, ip, active,
+                        self.Nlev)
                 else:
                     out = self.v_fused_ends(
                         self._mk_t(k_step, 20, it), paths, ip, active,
@@ -374,13 +389,19 @@ class Sweeper:
                 ips = [(it * K + k + off) % Np for k in range(K)]
                 act = jnp.stack(
                     [~isopen | (iworm != p) for p in ips], axis=1)
-                out = self.v_bis_multi(
-                    jax.random.fold_in(kk, 1), paths, ips, act, self.Nlev,
-                    fodd=fodd)
                 if use_fcache:
-                    paths, fodd, acc = out
+                    paths, fodd, acc = self.v_bis_multi(
+                        jax.random.fold_in(kk, 1), paths, ips, act,
+                        self.Nlev, fodd=fodd)
+                elif cfg.cascade:
+                    from .ops.cascade_kernels import interior_cascade
+                    paths, acc = interior_cascade(
+                        self.system, self.tables, jax.random.fold_in(kk, 1),
+                        paths, ips, act, self.Nlev)
                 else:
-                    paths, acc = out
+                    paths, acc = self.v_bis_multi(
+                        jax.random.fold_in(kk, 1), paths, ips, act,
+                        self.Nlev)
                 ctr = ctr.at[_CIDX["try_int"]].add(_i32sum(act))
                 ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc))
                 return paths, fodd, ctr

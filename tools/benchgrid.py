@@ -48,7 +48,8 @@ def main():
         if full:
             variants += [
                 ("exact_f2 (cached)", base.replace(exact_f2=True)),
-                ("no pallas pair_pot", base.replace(use_pallas=False)),
+                ("pallas rows deltas", base.replace(pallas_rows=True)),
+                ("no pallas at all", base.replace(use_pallas=False)),
                 ("sta ends", base.replace(end_regrow="sta")),
                 ("unfused (reference order)", base.replace(fused_sweep=False)),
                 ("measure_every=5", base.replace(measure_every=5)),
