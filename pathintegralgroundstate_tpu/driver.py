@@ -53,9 +53,17 @@ class Driver:
             jax.config.update("jax_enable_x64", True)
         if cfg.distributed:
             # multi-host entry point (SURVEY.md §2.3 'distributed comm
-            # backend'): coordinator/process ids come from the environment
-            # (TPU pod metadata or JAX_COORDINATOR_ADDRESS & co.)
-            jax.distributed.initialize()
+            # backend'): on TPU pods the coordinator/process ids auto-detect
+            # from the metadata server; manual clusters (docs/MULTIHOST.md)
+            # pass them via JAX_COORDINATOR_ADDRESS & co.
+            kw = {}
+            if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+                kw = dict(
+                    coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                    num_processes=int(
+                        os.environ.get("JAX_NUM_PROCESSES", "1")),
+                    process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+            jax.distributed.initialize(**kw)
         if cfg.debug:
             # debug subsystem (SURVEY.md §5 'sanitizers'): raise on the first
             # NaN/Inf produced on device; PIGS_DISABLE_JIT=1 additionally
