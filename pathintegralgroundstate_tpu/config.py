@@ -91,6 +91,18 @@ class SimConfig:
                                  # psum collectives); requires Np % tp == 0,
                                  # disables the Pallas pair kernels, and is
                                  # worthwhile for large Np (>= ~256)
+    mesh_beads: int = 1          # sequence-parallel shards of the BEAD
+                                 # (imaginary-time) axis for long-M runs
+                                 # (SURVEY.md §2.3 SP row): >1 routes the
+                                 # interior staging sweep through the
+                                 # ppermute ring-halo kernel
+                                 # (parallel/beadshard.sp_staging_sweep),
+                                 # regrowing one window PER SHARD per call
+                                 # (a valid product kernel).  Requires
+                                 # sampling='sta', CWorm=0, exact_f2=F,
+                                 # mesh_walkers=mesh_pairs=1, (M-1) %
+                                 # mesh_beads == 0 with even per-shard
+                                 # bead counts
     distributed: bool = False    # call jax.distributed.initialize() (multi-host)
     debug: bool = False          # debug mode: jax_debug_nans, per-step
                                  # dispatch (NaNs localize to one MC step),

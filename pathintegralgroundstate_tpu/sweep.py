@@ -113,7 +113,12 @@ def bead_updates_per_step(cfg) -> int:
             else:
                 per += cfg.Nstag * Np * 3 * L
         else:
-            per += cfg.Nstag * Np * 3 * cfg.Lstag
+            # mesh_beads > 1: the interior staging regrows one window PER
+            # BEAD SHARD per call (head/tail unchanged)
+            n_int = max(cfg.mesh_beads, 1)
+            per += cfg.Nstag * Np * (2 * cfg.Lstag
+                                     + n_int * (cfg.Lstag - 1)
+                                     + (1 if n_int == 1 else 0))
     # worm phase (open walkers; counted per walker as the sweep masks, not
     # skips, the closed ones)
     if cfg.CWorm > 0.0:
@@ -180,6 +185,28 @@ class Sweeper:
         self.Lstag = cfg.Lstag
         self.Nlev = cfg.Nlev
         self.use_bisection = cfg.sampling == "bis"
+
+        # sequence-parallel bead sharding (SURVEY.md §2.3 SP): the interior
+        # staging sweep regrows ONE window per bead shard per call through
+        # the shard_map + ppermute ring-halo kernel
+        self.sp_sweep = None
+        if cfg.mesh_beads > 1:
+            if cfg.sampling != "sta" or cfg.CWorm > 0.0 or cfg.exact_f2 \
+                    or cfg.mesh_walkers > 1 or cfg.mesh_pairs > 1:
+                raise ValueError(
+                    "mesh_beads>1 requires sampling='sta', CWorm=0, "
+                    "exact_f2=F and mesh_walkers=mesh_pairs=1")
+            import jax as _jax
+
+            from .parallel.beadshard import (_check_sp_geometry,
+                                             make_sp_mesh, sp_staging_sweep)
+            _check_sp_geometry(system.M - 1, cfg.mesh_beads, cfg.Lstag)
+            if len(_jax.devices()) < cfg.mesh_beads:
+                raise ValueError(
+                    f"mesh_beads={cfg.mesh_beads} exceeds the "
+                    f"{len(_jax.devices())} visible devices")
+            self.sp_mesh = make_sp_mesh(cfg.mesh_beads)
+            self.sp_sweep = sp_staging_sweep(s, t, self.sp_mesh, cfg.Lstag)
 
         # fused composite sweep (ops/bisection.py fused kernels): gated on
         # the geometric validity conditions — head/tail windows disjoint and
@@ -325,11 +352,23 @@ class Sweeper:
                 paths, acc_h = self.v_head_bis(kh, paths, ip, active, self.Nlev)
                 paths, acc_t = self.v_tail_bis(kt, paths, ip, active, self.Nlev)
                 paths, acc_b = self.v_bisect(kb, paths, ip, active, self.Nlev)
+            elif self.sp_sweep is not None:
+                # bead-sharded interior sweep: one window per 'sp' shard
+                # (gated diagonal-only, so active is all-true here)
+                M = system.M
+                paths, acc_h = self.v_head(kh, paths, ip, active, self.Lstag)
+                paths, acc_t = self.v_tail(kt, paths, ip, active, self.Lstag)
+                body, accS = self.sp_sweep(kb, paths[:, : M - 1],
+                                           paths[:, M - 1], ip)
+                paths = jnp.concatenate([body, paths[:, M - 1:]], axis=1)
+                acc_b = accS  # [S, W]: every shard's window counts
             else:
                 paths, acc_h = self.v_head(kh, paths, ip, active, self.Lstag)
                 paths, acc_t = self.v_tail(kt, paths, ip, active, self.Lstag)
                 paths, acc_b = self.v_staging(kb, paths, ip, active, self.Lstag)
-            ctr = ctr.at[_CIDX["try_stag"]].add(_i32sum(active))
+            n_try = _i32sum(active) * (cfg.mesh_beads
+                                       if self.sp_sweep is not None else 1)
+            ctr = ctr.at[_CIDX["try_stag"]].add(n_try)
             ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
             ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
             ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc_b))
