@@ -90,10 +90,28 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
     return d2, delta, m, xold, xnew
 
 
+def _cache_writeback(fodd, f_seg, dF_seg, alive, ii, axis1_len: int):
+    """Apply the alive-gated window increments dF_seg to the cache window
+    f_seg and write it back into fodd at bead offset ii (scalar: one DUS;
+    per-walker: batched scatter, mirroring the paths write-back forms)."""
+    dF_fin = jnp.where(alive[:, None, None, None], dF_seg, 0.0)
+    f_new = f_seg + dF_fin
+    if jnp.ndim(ii) == 0:
+        return lax.dynamic_update_slice_in_dim(fodd, f_new, ii, axis=1)
+    W = fodd.shape[0]
+    idx = ii[:, None] + jnp.arange(axis1_len)
+    return fodd.at[jnp.arange(W)[:, None], idx].set(f_new)
+
+
 def bisection(system: System, tables: Tables, key, paths, ip, active,
-              level: int):
+              level: int, fodd=None):
     """Interior multilevel bisection over an even-aligned window of
-    2**level links."""
+    2**level links.
+
+    fodd [W, M, N, D] (optional): all-bead force-field cache — hoisted as
+    ONE contiguous window slice (like the paths window), level rows sliced
+    from that small block, written back with one dynamic-update-slice gated
+    by the FINAL alive mask (see module note)."""
     M = system.M
     W = paths.shape[0]
     seg_len = 2 ** level
@@ -106,15 +124,26 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     seg0 = R_seg[:, :, ip, :]
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(seg_len + 1)
     ib_seg = jnp.broadcast_to(ib_seg, (W, seg_len + 1))
+    if fodd is not None:
+        f_seg = _slice_beads(fodd, ii, seg_len + 1)
+        dF_seg = jnp.zeros_like(f_seg)
 
     seg = seg0
     alive = active
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
                                                    ilev, level)
-        dS = jnp.sum(delta_action_rows(
-            system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-            ib_seg[:, d2::delta], need_wf=False), axis=-1)
+        if fodd is not None:
+            rows, dfield = delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], fold=f_seg[:, d2::delta],
+                need_wf=False)
+            dS = jnp.sum(rows, axis=-1)
+            dF_seg = _strided_set(dF_seg, dfield, 1, d2, delta, seg_len)
+        else:
+            dS = jnp.sum(delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], need_wf=False), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
@@ -126,13 +155,20 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
         chain = get_chain(paths, ip)
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _cache_writeback(fodd, f_seg, dF_seg, alive, ii, seg_len + 1)
+        return paths, fodd, alive
     return paths, alive
 
 
 def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
-                               ip, active, nlev: int, tail: bool):
+                               ip, active, nlev: int, tail: bool,
+                               fodd=None):
     """MoveHead/TailBisection body at a static depth nlev
-    (vpi_mod.f90:1002-1372); tail=True runs on the bead-reversed segment."""
+    (vpi_mod.f90:1002-1372); tail=True runs on the bead-reversed segment.
+
+    fodd: all-bead force-field cache, hoisted as one contiguous (reversed
+    for tail) window like the paths window (see bisection)."""
     cfg = system.cfg
     M = system.M
     dt = cfg.dt
@@ -144,9 +180,12 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
         R_seg = paths[:, M - 1 - seg_len:][:, ::-1]
         ib_seg = jnp.broadcast_to(
             jnp.arange(M - 1, M - 2 - seg_len, -1), (W, seg_len + 1))
+        f_seg = fodd[:, M - 1 - seg_len:][:, ::-1] if fodd is not None \
+            else None
     else:
         R_seg = paths[:, : seg_len + 1]
         ib_seg = jnp.broadcast_to(jnp.arange(seg_len + 1), (W, seg_len + 1))
+        f_seg = fodd[:, : seg_len + 1] if fodd is not None else None
     seg0 = R_seg[:, :, ip, :]      # window-first chain access (see bisection)
 
     # free-gaussian guess for the terminal bead, sigma = sqrt(2**nlev*dt),
@@ -157,17 +196,34 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     g = jax.random.normal(k_g, xold0.shape, dtype)
     xmid = xold0 - _mi(system, xold0 - anchor)
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(seg_len * dt) * g)
-    dS0 = jnp.sum(delta_action(system, tables, R_seg[:, :1], xnew0[:, None],
-                               xold0[:, None], ip, ib_seg[:, :1]), axis=-1)
+    if fodd is not None:
+        dF_seg = jnp.zeros_like(f_seg)
+        rows0, dfield0 = delta_action_rows(
+            system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
+            ip, ib_seg[:, :1], fold=f_seg[:, :1])
+        dS0 = jnp.sum(rows0, axis=-1)
+        dF_seg = dF_seg.at[:, :1].set(dfield0)
+    else:
+        dS0 = jnp.sum(delta_action(system, tables, R_seg[:, :1],
+                                   xnew0[:, None], xold0[:, None], ip,
+                                   ib_seg[:, :1]), axis=-1)
     alive = active & metropolis(k_acc0, dS0)
     seg = seg0.at[:, 0].set(xnew0)
 
     for ilev in range(1, nlev + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
                                                    seg, ilev, nlev)
-        dS = jnp.sum(delta_action_rows(
-            system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-            ib_seg[:, d2::delta], need_wf=False), axis=-1)
+        if fodd is not None:
+            rows, dfield = delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], fold=f_seg[:, d2::delta],
+                need_wf=False)
+            dS = jnp.sum(rows, axis=-1)
+            dF_seg = _strided_set(dF_seg, dfield, 1, d2, delta, seg_len)
+        else:
+            dS = jnp.sum(delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], need_wf=False), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
 
@@ -181,11 +237,18 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
         paths = lax.dynamic_update_slice(
             paths, seg_fin[:, :, None, :].astype(paths.dtype),
             (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    if fodd is not None:
+        dF_fin = jnp.where(alive[:, None, None, None], dF_seg, 0.0)
+        f_new = f_seg + dF_fin
+        lo = M - 1 - seg_len if tail else 0
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, f_new[:, ::-1] if tail else f_new, lo, axis=1)
+        return paths, fodd, alive
     return paths, alive
 
 
 def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
-                   level: int, tail: bool):
+                   level: int, tail: bool, fodd=None):
     """End-segment bisection.
 
     The reference draws a random depth Nlev ~ U{2..level} per move
@@ -199,15 +262,17 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
     """
     if not system.cfg.bis_end_random_depth or level <= 2:
         return _end_bisection_fixed_depth(system, tables, key, paths, ip,
-                                          active, max(level, 2), tail)
+                                          active, max(level, 2), tail,
+                                          fodd=fodd)
     k_n, k_body = jax.random.split(key)
     nlev = jax.random.randint(k_n, (), 0, level - 1)  # 0 .. level-2
     branches = [
         (lambda args, d=d: _end_bisection_fixed_depth(
-            system, tables, args[0], args[1], args[2], args[3], d, tail))
+            system, tables, args[0], args[1], args[2], args[3], d, tail,
+            fodd=args[4]))
         for d in range(2, level + 1)
     ]
-    return lax.switch(nlev, branches, (k_body, paths, ip, active))
+    return lax.switch(nlev, branches, (k_body, paths, ip, active, fodd))
 
 
 # ---------------------------------------------------------------------------
@@ -276,8 +341,13 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     R_ends = jnp.stack([R_head[:, 0], R_tail[:, 0]], axis=1)    # [W, 2, N, D]
     ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
     if fodd is not None:
+        # hoist the cache windows ONCE, contiguous, like R_head/R_tail —
+        # per-level strided slices of the full [W, M, N, D] cache lower to
+        # whole-array mini-gather passes (the round-3 profiling story)
+        f_head = fodd[:, : L + 1]
+        f_tail = fodd[:, M - 1 - L:][:, ::-1]
         dF_seg = jnp.zeros(seg0.shape[:3] + (cfg.Np, cfg.dim), dtype)
-        fold0 = jnp.stack([fodd[:, 0], fodd[:, M - 1]], axis=1)
+        fold0 = jnp.stack([f_head[:, 0], f_tail[:, 0]], axis=1)
         dS0, dfield0 = delta_action_rows(system, tables, R_ends, xnew0,
                                          xold0, ip, ib_ends, fold=fold0)
         dF_seg = dF_seg.at[:, :, 0].set(dfield0)
@@ -300,10 +370,8 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         xn2 = xnew.reshape(W, 2 * m, -1)
         xo2 = xold.reshape(W, 2 * m, -1)
         if fodd is not None:
-            lo_t = M - 1 - d2 - (m - 1) * delta
             fold = jnp.concatenate(
-                [fodd[:, d2:L:delta], fodd[:, lo_t:M - d2:delta][:, ::-1]],
-                axis=1)
+                [f_head[:, d2:L:delta], f_tail[:, d2:L:delta]], axis=1)
             rows, dfield = delta_action_rows(
                 system, tables, R_mid, xn2, xo2, ip, ib_mid, fold=fold,
                 need_wf=False)
@@ -327,8 +395,10 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
     if fodd is not None:
         dF_fin = jnp.where(alive[:, :, None, None, None], dF_seg, 0.0)
-        fodd = fodd.at[:, : L + 1].add(dF_fin[:, 0])
-        fodd = fodd.at[:, M - 1 - L:].add(dF_fin[:, 1, ::-1])
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, f_head + dF_fin[:, 0], 0, axis=1)
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, (f_tail + dF_fin[:, 1])[:, ::-1], M - 1 - L, axis=1)
         return paths, fodd, alive[:, 0], alive[:, 1]
     return paths, alive[:, 0], alive[:, 1]
 
@@ -438,11 +508,13 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     return paths, alive
 
 
-def move_head_bisection(system, tables, key, paths, ip, active, level: int):
+def move_head_bisection(system, tables, key, paths, ip, active, level: int,
+                        fodd=None):
     return _end_bisection(system, tables, key, paths, ip, active, level,
-                          tail=False)
+                          tail=False, fodd=fodd)
 
 
-def move_tail_bisection(system, tables, key, paths, ip, active, level: int):
+def move_tail_bisection(system, tables, key, paths, ip, active, level: int,
+                        fodd=None):
     return _end_bisection(system, tables, key, paths, ip, active, level,
-                          tail=True)
+                          tail=True, fodd=fodd)

@@ -389,38 +389,78 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
 
 
 def translate_half_chain(system: System, tables: Tables, key, paths, xend,
-                         ip, half: int, active, delta):
+                         ip, half: int, active, delta, fodd=None):
     """Rigid displacement of one worm half (vpi_mod.f90:383-476).
 
     Bead Nb is first pinned to xend[half] (the pin persists even on
-    rejection, as in the reference, vpi_mod.f90:400-402).
+    rejection, as in the reference, vpi_mod.f90:400-402) — ACTIVE walkers
+    only (see _pin_center).
     half static: 1 -> beads [0..Nb], 2 -> beads [Nb..2Nb].
+    fodd: force-field cache (returned updated as 3rd-from-last output).
     """
     cfg = system.cfg
     Nb, D = cfg.Nb, cfg.dim
     W = paths.shape[0]
     k_dx, k_acc = jax.random.split(key)
     lo, hi = (0, Nb + 1) if half == 1 else (Nb, 2 * Nb + 1)
-    Rw = paths[:, lo:hi]
-    xold = _win_chain(Rw, ip, paths.dtype).at[:, Nb - lo].set(
-        xend[:, half - 1])
+    if fodd is not None:
+        # write the pin into paths (cache must see the pinned config)
+        paths, fodd = _pin_center(system, paths, xend, ip, half, active,
+                                  tables, fodd)
+        Rw = paths[:, lo:hi]
+        xold = _win_chain(Rw, ip, paths.dtype)
+    else:
+        Rw = paths[:, lo:hi]
+        cur = _win_chain(Rw, ip, paths.dtype)
+        pin = jnp.where(active[:, None], xend[:, half - 1], cur[:, Nb - lo])
+        xold = cur.at[:, Nb - lo].set(pin)
     ib = jnp.broadcast_to(jnp.arange(lo, hi), (W, hi - lo))
     dx = delta * (2.0 * jax.random.uniform(k_dx, (W, 1, D), paths.dtype) - 1.0)
     xnew = _wrap_pos(system, xold + dx)
-    dS = delta_action_sum(system, tables, Rw, xnew, xold, ip, ib)
+    if fodd is not None:
+        f_seg = fodd[:, lo:hi]
+        dS, dfield = delta_action_sum(system, tables, Rw, xnew, xold, ip,
+                                      ib, fold=f_seg)
+    else:
+        dS = delta_action_sum(system, tables, Rw, xnew, xold, ip, ib)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], xnew, xold)  # pin persists
-    xend = xend.at[:, half - 1].set(seg_fin[:, Nb - lo])
-    return _win_write(paths, lo, Rw, ip, seg_fin), xend, acc
+    xend = xend.at[:, half - 1].set(
+        jnp.where(active[:, None], seg_fin[:, Nb - lo], xend[:, half - 1]))
+    paths = _win_write(paths, lo, Rw, ip, seg_fin)
+    if fodd is not None:
+        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, f_new, lo, axis=1)
+        return paths, xend, fodd, acc
+    return paths, xend, acc
 
 
 # ---------------------------------------------------------------------------
 # Staging moves (Staging, vpi_mod.f90:480-578)
 # ---------------------------------------------------------------------------
 
+def _cache_win_write(fodd, f_seg, dfield, acc, ii):
+    """Window cache write-back: add the acc-gated increments to the hoisted
+    window rows and write them back at bead offset ii (scalar: one DUS;
+    per-walker ii: batched scatter — mirrors the paths write-back forms).
+    dfield rows align with f_seg rows 0..B-1 (displaced beads)."""
+    B = dfield.shape[1]
+    f_new = f_seg.at[:, :B].add(
+        jnp.where(acc[:, None, None, None], dfield, 0.0))
+    if jnp.ndim(ii) == 0:
+        return jax.lax.dynamic_update_slice_in_dim(fodd, f_new, ii, axis=1)
+    W = fodd.shape[0]
+    idx = ii[:, None] + jnp.arange(f_seg.shape[1])
+    return fodd.at[jnp.arange(W)[:, None], idx].set(f_new)
+
+
 def staging_move(system: System, tables: Tables, key, paths, ip, active,
-                 L: int):
-    """Interior staging over a random even-aligned window of L links."""
+                 L: int, fodd=None):
+    """Interior staging over a random even-aligned window of L links.
+
+    fodd [W, M, N, D] (optional): all-bead force-field cache (exact Chin
+    F^2; see ops/pairwise.delta_action_rows) — hoisted as one contiguous
+    window, written back with one dynamic-update-slice."""
     M = system.M
     W = paths.shape[0]
     k_ii, k_reg, k_acc = jax.random.split(key, 3)
@@ -429,20 +469,58 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        fixed_L=L)
+    if fodd is not None:
+        f_seg = _slice_beads(fodd, ii, L + 1)
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+            fixed_L=L, fold=f_seg[:, :L])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+            fixed_L=L)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     if jnp.ndim(ii) == 0 and jnp.ndim(jnp.asarray(ip)) == 0:
-        return _win_write(paths, ii, R_seg, ip, seg_fin), acc
-    chain = get_chain(paths, ip)
-    chain = _update_beads(chain, ii, seg_fin)
-    return set_chain(paths, ip, chain), acc
+        paths = _win_write(paths, ii, R_seg, ip, seg_fin)
+    else:
+        chain = get_chain(paths, ip)
+        chain = _update_beads(chain, ii, seg_fin)
+        paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, ii)
+        return paths, fodd, acc
+    return paths, acc
+
+
+def _pin_center(system: System, paths, xend, ip, half: int, active,
+                tables: Tables = None, fodd=None):
+    """Pin bead Nb of particle ip to xend[half] — ACTIVE walkers only.
+
+    The reference pins inside its isopen worm branch (vpi_mod.f90:1400-1406);
+    for closed walkers xend is stale and writing it would corrupt the path
+    (a detailed-balance violation caught in round 4).
+
+    fodd: force-field cache — the pin IS a configuration change at bead Nb
+    (unconditional: it persists on rejection), so its one-row field
+    increment is applied unconditionally too.  Returns (paths[, fodd])."""
+    Nb = system.cfg.Nb
+    Rrow = paths[:, Nb: Nb + 1]
+    cur = _win_chain(Rrow, ip, paths.dtype)[:, 0]
+    pin = jnp.where(active[:, None], xend[:, half - 1], cur)
+    paths = _win_write(paths, Nb, Rrow, ip, pin[:, None, :])
+    if fodd is not None:
+        from .pairwise import delta_pot_cached
+        _, _, dfield = delta_pot_cached(
+            system, tables, Rrow, pin[:, None], cur[:, None], ip,
+            fodd[:, Nb: Nb + 1])
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, fodd[:, Nb: Nb + 1] + dfield, Nb, axis=1)
+        return paths, fodd
+    return paths
 
 
 def staging_half_chain(system: System, tables: Tables, key, paths, xend,
-                       ip, half: int, active, L: int):
+                       ip, half: int, active, L: int, fodd=None):
     """Staging confined to one worm half (vpi_mod.f90:1376-1491)."""
     cfg = system.cfg
     Nb = cfg.Nb
@@ -454,15 +532,24 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     # vpi_mod.f90:1400-1406); interior staging never displaces it (windows
     # live inside one half, Nb can only be a window ENDPOINT), so xend is
     # unchanged by this move
-    pin = xend[:, half - 1]
-    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
+    if fodd is not None:
+        paths, fodd = _pin_center(system, paths, xend, ip, half, active,
+                                  tables, fodd)
+    else:
+        paths = _pin_center(system, paths, xend, ip, half, active)
     R_seg = _slice_beads(paths, ii, L + 1)
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-        fixed_L=L)
+    if fodd is not None:
+        f_seg = _slice_beads(fodd, ii, L + 1)
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+            fixed_L=L, fold=f_seg[:, :L])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
+            fixed_L=L)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     if jnp.ndim(ii) == 0:
@@ -471,6 +558,9 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
         chain = get_chain(paths, ip)
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, ii)
+        return paths, xend, fodd, acc
     return paths, xend, acc
 
 
@@ -484,7 +574,7 @@ def _rand_ls(key, W, Lmax: int):
 
 
 def move_head(system: System, tables: Tables, key, paths, ip, active,
-              Lmax: int):
+              Lmax: int, fodd=None):
     """Regrow the first Ls beads from a free-gaussian guess for bead 0."""
     W = paths.shape[0]
     k_ls, k_reg, k_acc = jax.random.split(key, 3)
@@ -492,15 +582,25 @@ def move_head(system: System, tables: Tables, key, paths, ip, active,
     R_seg = paths[:, : Lmax + 1]
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1))
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+    if fodd is not None:
+        f_seg = fodd[:, : Lmax + 1]
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+            fold=f_seg[:, :Lmax])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
-    return _win_write(paths, 0, R_seg, ip, seg_fin), acc
+    paths = _win_write(paths, 0, R_seg, ip, seg_fin)
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, 0)
+        return paths, fodd, acc
+    return paths, acc
 
 
 def move_tail(system: System, tables: Tables, key, paths, ip, active,
-              Lmax: int):
+              Lmax: int, fodd=None):
     """Mirror of move_head at the far end, via the bead-reversed segment."""
     M = system.M
     W = paths.shape[0]
@@ -510,11 +610,25 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1),
                               (W, Lmax + 1))
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
+    if fodd is not None:
+        f_seg = fodd[:, M - 1 - Lmax:][:, ::-1]
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
+            fold=f_seg[:, :Lmax])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
     acc = metropolis(k_acc, dS) & active
-    seg_fin = jnp.where(acc[:, None, None], seg_new, seg)[:, ::-1]
-    return _win_write(paths, M - 1 - Lmax, R_seg[:, ::-1], ip, seg_fin), acc
+    seg_fin0 = jnp.where(acc[:, None, None], seg_new, seg)
+    seg_fin = seg_fin0[:, ::-1]
+    paths = _win_write(paths, M - 1 - Lmax, R_seg[:, ::-1], ip, seg_fin)
+    if fodd is not None:
+        f_new = f_seg.at[:, :Lmax].add(
+            jnp.where(acc[:, None, None, None], dfield, 0.0))
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, f_new[:, ::-1], M - 1 - Lmax, axis=1)
+        return paths, fodd, acc
+    return paths, acc
 
 
 def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
@@ -576,7 +690,7 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
 
 
 def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
-                         ip, half: int, active, Lmax: int):
+                         ip, half: int, active, Lmax: int, fodd=None):
     """MoveHeadHalfChain (vpi_mod.f90:1495-1656): half=1 regrows from bead 0,
     half=2 from the central bead Nb (with the half-weight 1/2 on its dS)."""
     cfg = system.cfg
@@ -586,24 +700,37 @@ def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
     Ls = _rand_ls(k_ls, W, Lmax)
     lo = 0 if half == 1 else Nb
     w0 = 1.0 if half == 1 else 0.5
-    pin = xend[:, half - 1]
-    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
+    if fodd is not None:
+        paths, fodd = _pin_center(system, paths, xend, ip, half, active,
+                                  tables, fodd)
+    else:
+        paths = _pin_center(system, paths, xend, ip, half, active)
     R_seg = paths[:, lo: lo + Lmax + 1]
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(lo + jnp.arange(Lmax + 1), (W, Lmax + 1))
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+    if fodd is not None:
+        f_seg = fodd[:, lo: lo + Lmax + 1]
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
+            fold=f_seg[:, :Lmax])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     paths = _win_write(paths, lo, R_seg, ip, seg_fin)
     # half=2 regrows FROM the center: an accepted move updates xend
     if half == 2:
-        xend = xend.at[:, half - 1].set(seg_fin[:, 0])
+        xend = xend.at[:, half - 1].set(
+            jnp.where(active[:, None], seg_fin[:, 0], xend[:, half - 1]))
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, lo)
+        return paths, xend, fodd, acc
     return paths, xend, acc
 
 
 def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
-                         ip, half: int, active, Lmax: int):
+                         ip, half: int, active, Lmax: int, fodd=None):
     """MoveTailHalfChain (vpi_mod.f90:1660-1817): half=1 regrows the central
     bead Nb (weight 1/2), half=2 the last bead 2*Nb."""
     cfg = system.cfg
@@ -614,17 +741,33 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
     hi = Nb if half == 1 else 2 * Nb  # bead being regrown (segment end)
     w0 = 0.5 if half == 1 else 1.0
     lo = hi - Lmax
-    pin = xend[:, half - 1]
-    paths = _win_write(paths, Nb, paths[:, Nb: Nb + 1], ip, pin[:, None, :])
+    if fodd is not None:
+        paths, fodd = _pin_center(system, paths, xend, ip, half, active,
+                                  tables, fodd)
+    else:
+        paths = _pin_center(system, paths, xend, ip, half, active)
     R_seg = paths[:, lo: hi + 1][:, ::-1]
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(hi, lo - 1, -1), (W, Lmax + 1))
-    seg_new, dS = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
+    if fodd is not None:
+        f_seg = fodd[:, lo: hi + 1][:, ::-1]
+        seg_new, dS, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
+            fold=f_seg[:, :Lmax])
+    else:
+        seg_new, dS = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
     acc = metropolis(k_acc, dS) & active
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     paths = _win_write(paths, lo, R_seg[:, ::-1], ip, seg_fin[:, ::-1])
     # half=1 regrows the CENTER bead: an accepted move updates xend
     if half == 1:
-        xend = xend.at[:, half - 1].set(seg_fin[:, 0])
+        xend = xend.at[:, half - 1].set(
+            jnp.where(active[:, None], seg_fin[:, 0], xend[:, half - 1]))
+    if fodd is not None:
+        f_new = f_seg.at[:, :Lmax].add(
+            jnp.where(acc[:, None, None, None], dfield, 0.0))
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, f_new[:, ::-1], lo, axis=1)
+        return paths, xend, fodd, acc
     return paths, xend, acc

@@ -142,6 +142,7 @@ def force_field(system: System, tables: Tables, R):
         rij2 = jnp.sum(xij * xij, axis=-1)
     notself = ~jnp.eye(N, dtype=bool)
     m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
+    m = m & (rij2 > 0.0)  # exact-coincidence guard (see delta_action_rows)
     r = jnp.sqrt(jnp.where(notself, rij2, 1.0))
     fr = jnp.where(m, _dv_of_r(system, tables, r) / r, 0.0)
     F = jnp.sum(fr[..., None] * xij, axis=-2)
@@ -174,9 +175,13 @@ def delta_pot_cached(system: System, tables: Tables, R, xnew, xold, ip,
         notself, rij2, r, xij = _pair_terms(system, x, R, ip)
         rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
         m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
+        # exact-coincidence guard (cf. delta_action_rows): a pinned bead can
+        # coincide EXACTLY with a partner (worm-tail pins), where the force
+        # direction is singular — without the rij2>0 mask, 0*inf = NaN
+        mf = m & (rij2 > 0.0)
         vv, dv = _v_dv_of_r(system, tables, r, rinv)
         pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)
-        fpair = jnp.where(m, dv * rinv, 0.0)[..., None] * xij  # [., B, N, D]
+        fpair = jnp.where(mf, dv * rinv, 0.0)[..., None] * xij  # [., B, N, D]
         F = jnp.sum(fpair, axis=-2)                            # [., B, D]
         if cfg.trap:
             pot = pot + jas.trap_pot(cfg.a_ho, x)

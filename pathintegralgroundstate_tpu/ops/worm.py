@@ -78,12 +78,37 @@ def _writeback_half(chain, half1, acc, sA_old, sA_new, sB_old, sB_new,
     return chain
 
 
+def _half_fold(fodd, half1_static: bool, Nb: int, Lmax: int):
+    """Cache rows under a worm-center half segment, in segment orientation
+    (row r of the half1 buffer is bead Nb - r; half2 forward)."""
+    Lb = Lmax - 2
+    if half1_static:
+        return fodd[:, Nb - Lb: Nb + 1][:, ::-1]
+    return fodd[:, Nb: Nb + Lb + 1]
+
+
+def _apply_half_dfield(fodd, half1, acc, dfA, dfB, Nb: int, Lmax: int):
+    """Apply the chosen half's acc-gated cache increments.
+
+    dfA rows 0..Lb-1 are beads Nb..Nb-Lb+1 (reversed half1 orientation);
+    dfB rows are beads Nb..Nb+Lb-1 (forward)."""
+    from jax import lax as _lax
+    Lb = Lmax - 2
+    gA = (acc & half1)[:, None, None, None]
+    fA = fodd[:, Nb - Lb + 1: Nb + 1] + jnp.where(gA, dfA[:, ::-1], 0.0)
+    fodd = _lax.dynamic_update_slice_in_dim(fodd, fA, Nb - Lb + 1, axis=1)
+    gB = (acc & ~half1)[:, None, None, None]
+    fB = fodd[:, Nb: Nb + Lb] + jnp.where(gB, dfB, 0.0)
+    return _lax.dynamic_update_slice_in_dim(fodd, fB, Nb, axis=1)
+
+
 def open_chain(system: System, tables: Tables, key, paths, xend, ip,
-               active, Lmax: int):
+               active, Lmax: int, fodd=None):
     """OpenChain (vpi_mod.f90:1821-2076) over the ensemble.
 
-    Returns (paths, xend, opened).  On rejection xend is reset to the
-    (restored) central bead, exactly as the reference (vpi_mod.f90:2066-69).
+    Returns (paths, xend[, fodd], opened).  On rejection xend is reset to
+    the (restored) central bead, exactly as the reference
+    (vpi_mod.f90:2066-69).
     """
     cfg, geo = system.cfg, system.geo
     Nb = cfg.Nb
@@ -103,12 +128,18 @@ def open_chain(system: System, tables: Tables, key, paths, xend, ip,
         anchor = jnp.einsum("wld,wl->wd", seg, oh_ls)
         rij2 = _gap_rij2(system, seg[:, 0], anchor)
         dK = _broken_link_k(system, rij2, Ls)
+        if fodd is not None:
+            fold = _half_fold(fodd, half1_static, Nb, Lmax)
+            seg_new, dS, dfield = segment_regrow(
+                system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss",
+                0.5, fold=fold[:, : Lmax - 2])
+            return seg, seg_new, dS, dK, dfield
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 0.5)
-        return seg, seg_new, dS, dK
+        return seg, seg_new, dS, dK, None
 
-    sA_old, sA_new, dsA, dkA = run(True)
-    sB_old, sB_new, dsB, dkB = run(False)
+    sA_old, sA_new, dsA, dkA, dfA = run(True)
+    sB_old, sB_new, dsB, dkB, dfB = run(False)
     dS = dS_base + jnp.where(half1, dsA, dsB)
     dK = jnp.where(half1, dkA, dkB)
     acc = metropolis(k_acc, dS + dK) & active
@@ -124,11 +155,15 @@ def open_chain(system: System, tables: Tables, key, paths, xend, ip,
                       jnp.where(half1[:, None], old_center, new_center),
                       new_center)
     xend = jnp.stack([xend1, xend2], axis=1)
-    return set_chain(paths, ip, chain), xend, acc
+    paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _apply_half_dfield(fodd, half1, acc, dfA, dfB, Nb, Lmax)
+        return paths, xend, fodd, acc
+    return paths, xend, acc
 
 
 def close_chain(system: System, tables: Tables, key, paths, xend, ip,
-                active, Lmax: int):
+                active, Lmax: int, fodd=None):
     """CloseChain (vpi_mod.f90:2080-2266) over the ensemble."""
     cfg, geo = system.cfg, system.geo
     Nb = cfg.Nb
@@ -145,17 +180,24 @@ def close_chain(system: System, tables: Tables, key, paths, xend, ip,
         seg, R_seg, ib_seg = _half_segments(system, paths, chain,
                                             half1_static, Lmax)
         pin = xend[:, 1] if half1_static else xend[:, 0]
-        seg_new, dS = segment_regrow(
-            system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin", 0.5,
-            first_pos=pin)
+        if fodd is not None:
+            fold = _half_fold(fodd, half1_static, Nb, Lmax)
+            seg_new, dS, dfield = segment_regrow(
+                system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin",
+                0.5, first_pos=pin, fold=fold[:, : Lmax - 2])
+        else:
+            seg_new, dS = segment_regrow(
+                system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin",
+                0.5, first_pos=pin)
+            dfield = None
         # closed-gap kinetic term from the NEW positions (vpi_mod.f90:2205-19)
         anchor = jnp.einsum("wld,wl->wd", seg_new, oh_ls)
         rij2 = _gap_rij2(system, seg_new[:, 0], anchor)
         dK = _broken_link_k(system, rij2, Ls)
-        return seg, seg_new, dS, dK
+        return seg, seg_new, dS, dK, dfield
 
-    sA_old, sA_new, dsA, dkA = run(True)
-    sB_old, sB_new, dsB, dkB = run(False)
+    sA_old, sA_new, dsA, dkA, dfA = run(True)
+    sB_old, sB_new, dsB, dkB, dfB = run(False)
     dS = dS_base + jnp.where(half1, dsA, dsB)
     dK = jnp.where(half1, dkA, dkB)
     acc = metropolis(k_acc, dS - dK) & active  # exp(-dS+dK), vpi_mod.f90:2223
@@ -165,16 +207,25 @@ def close_chain(system: System, tables: Tables, key, paths, xend, ip,
     center = chain[:, Nb]
     xend_new = jnp.stack([center, center], axis=1)
     xend = jnp.where(acc[:, None, None], xend_new, xend)
-    return set_chain(paths, ip, chain), xend, acc
+    paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _apply_half_dfield(fodd, half1, acc, dfA, dfB, Nb, Lmax)
+        return paths, xend, fodd, acc
+    return paths, xend, acc
 
 
 def swap_move(system: System, tables: Tables, key, paths, xend, iw,
-              active, Lmax: int):
+              active, Lmax: int, fodd=None):
     """Swap (vpi_mod.f90:2270-2487): permutation update exchanging the worm's
     tail half with a partner chosen by tower sampling over kinetic weights.
 
-    Returns (paths, xend, accepted, partner[W]).
-    """
+    Returns (paths, xend[, fodd], accepted, partner[W]).
+
+    Cache semantics on accept: (a) the partner's regrown interior beads
+    Nb-Ls+1..Nb-1 get the segment_regrow increments; (b) beads Nb..2Nb are
+    a pure LABEL swap between iw and ik — the per-bead configuration is the
+    same set of positions, so only the two particles' force columns swap
+    (F_iw[b] <-> F_ik[b]); every other column is untouched."""
     cfg = system.cfg
     Nb = cfg.Nb
     dt = cfg.dt
@@ -212,9 +263,15 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     seg = chain_ik[:, Nb - Lb: Nb + 1][:, ::-1]
     R_seg = paths[:, Nb - Lb: Nb + 1][:, ::-1]
     ib_seg = jnp.broadcast_to(jnp.arange(Nb, Nb - Lb - 1, -1), (W, Lb + 1))
-    seg_new, dSr = segment_regrow(
-        system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
-        first_pos=xend[:, 1])
+    if fodd is not None:
+        f_seg = fodd[:, Nb - Lb: Nb + 1][:, ::-1]
+        seg_new, dSr, dfield = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
+            first_pos=xend[:, 1], fold=f_seg[:, :Lb])
+    else:
+        seg_new, dSr = segment_regrow(
+            system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
+            first_pos=xend[:, 1])
     acc = ok & metropolis(k_acc, dSr)
 
     chain_ik_regrown = chain_ik.at[:, Nb - Lb: Nb + 1].set(seg_new[:, ::-1])
@@ -236,6 +293,26 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
                       jnp.where((ik == iw)[:, None, None], out_iw, out_ik))
     xend = xend.at[:, 1].set(
         jnp.where(acc[:, None], chain_ik[:, Nb], xend[:, 1]))
+    if fodd is not None:
+        # (a) regrow increments (reversed rows -> beads Nb-Lb+1..Nb; the
+        # pin row 0 has zero increment, so including bead Nb is harmless)
+        fR = fodd[:, Nb - Lb + 1: Nb + 1] + jnp.where(
+            acc[:, None, None, None], dfield[:, ::-1], 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, fR, Nb - Lb + 1, axis=1)
+        # (b) label swap of the iw/ik force columns at beads Nb..2Nb
+        f_tail = fodd[:, Nb:]
+        dtype = f_tail.dtype
+        oh_iw = jnp.arange(N) == iw[:, None]                  # [W, N]
+        oh_ik = jnp.arange(N) == safe_ik[:, None]
+        f_iw = jnp.einsum("wbnd,wn->wbd", f_tail, oh_iw.astype(dtype))
+        f_ik = jnp.einsum("wbnd,wn->wbd", f_tail, oh_ik.astype(dtype))
+        swapped = jnp.where(
+            oh_iw[:, None, :, None], f_ik[:, :, None, :],
+            jnp.where(oh_ik[:, None, :, None], f_iw[:, :, None, :], f_tail))
+        gate = (acc & (ik != iw))[:, None, None, None]
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, jnp.where(gate, swapped, f_tail), Nb, axis=1)
+        return paths, xend, fodd, acc, ik
     return paths, xend, acc, ik
 
 

@@ -250,13 +250,34 @@ class Sweeper:
         in_cycle, iperm = state.in_cycle, state.iperm
         perm_hist = stats.perm_hist
 
+        # exact-F^2 force-field cache (ops/pairwise.delta_action_rows):
+        # the per-bead force field at EVERY bead, recomputed fresh once per
+        # step and maintained incrementally through every move — open/close,
+        # the fused composites, the unfused reference-order sweeps, AND the
+        # worm phase (round 4; previously fused-diagonal-only, leaving the
+        # flagship default on the O(N^2 B) brute path).  One field pass per
+        # step ~= one ThermEnergy sweep.
+        use_fcache = cfg.exact_f2 and cfg.f2_cache \
+            and self.sp_sweep is None
+        if use_fcache:
+            from .ops.pairwise import force_field
+            fodd = force_field(system, self.tables, paths)
+        else:
+            fodd = None
+
         # ---- 1. open/close attempts (vpi.f90:302-323) ----
         if cfg.CWorm > 0.0:
             iupdate = jax.random.randint(self._mk(k_step, 0), (W,), 0, 2)
 
             do_close = isopen & (iupdate == 0)
-            paths, xend, closed = self.v_close(
-                self._mk(k_step, 1), paths, xend, iworm, do_close, self.Lstag)
+            if use_fcache:
+                paths, xend, fodd, closed = self.v_close(
+                    self._mk(k_step, 1), paths, xend, iworm, do_close,
+                    self.Lstag, fodd=fodd)
+            else:
+                paths, xend, closed = self.v_close(
+                    self._mk(k_step, 1), paths, xend, iworm, do_close,
+                    self.Lstag)
             # permutation bookkeeping: histogram the ended cycle (one-hot
             # sum, not scatter — per-row scatters serialize on TPU)
             onehot = (jnp.clip(iperm - 1, 0, Np - 1)[:, None]
@@ -268,8 +289,14 @@ class Sweeper:
             do_open = (~isopen) & (~closed) & (iupdate == 1)
             cand = jax.random.randint(self._mk(k_step, 2), (W,), 0, Np,
                                       dtype=jnp.int32)
-            paths, xend_o, opened = self.v_open(
-                self._mk(k_step, 3), paths, xend, cand, do_open, self.Lstag)
+            if use_fcache:
+                paths, xend_o, fodd, opened = self.v_open(
+                    self._mk(k_step, 3), paths, xend, cand, do_open,
+                    self.Lstag, fodd=fodd)
+            else:
+                paths, xend_o, opened = self.v_open(
+                    self._mk(k_step, 3), paths, xend, cand, do_open,
+                    self.Lstag)
             xend = jnp.where(do_open[:, None, None], xend_o, xend)
             iworm = jnp.where(opened, cand, iworm)
             isopen = isopen | opened
@@ -287,19 +314,6 @@ class Sweeper:
         # ---- 2. CM translations (vpi.f90:329-342 / 412-419) ----
         do_cm = (state.step % max(cfg.CMFreq, 1)) == 0
         delta = system.geo.delta_cm
-
-        # exact-F^2 force-field cache (ops/pairwise.delta_action_rows):
-        # the per-bead force field at EVERY bead, recomputed fresh each step
-        # AFTER the open/close updates, carried through the diagonal move
-        # loops, discarded before the worm phase (whose moves use the
-        # brute-force exact branch).  One field pass per step ~= one
-        # ThermEnergy sweep.
-        use_fcache = cfg.exact_f2 and cfg.f2_cache and self.fused_diag
-        if use_fcache:
-            from .ops.pairwise import force_field
-            fodd = force_field(system, self.tables, paths)
-        else:
-            fodd = None
 
         def cm_body(ip, carry):
             paths, fodd, ctr = carry
@@ -342,13 +356,20 @@ class Sweeper:
 
         # ---- 3. staging/bisection sweeps (vpi.f90:344-366 / 421-439) ----
         def stag_body(it, carry):
-            paths, ctr = carry
+            paths, fodd, ctr = carry
             ip = it % Np
             active = ~isopen | (iworm != ip)
             kh = self._mk_t(k_step, 20, it)
             kt = self._mk_t(k_step, 21, it)
             kb = self._mk_t(k_step, 22, it)
-            if self.use_bisection:
+            if self.use_bisection and use_fcache:
+                paths, fodd, acc_h = self.v_head_bis(
+                    kh, paths, ip, active, self.Nlev, fodd=fodd)
+                paths, fodd, acc_t = self.v_tail_bis(
+                    kt, paths, ip, active, self.Nlev, fodd=fodd)
+                paths, fodd, acc_b = self.v_bisect(
+                    kb, paths, ip, active, self.Nlev, fodd=fodd)
+            elif self.use_bisection:
                 paths, acc_h = self.v_head_bis(kh, paths, ip, active, self.Nlev)
                 paths, acc_t = self.v_tail_bis(kt, paths, ip, active, self.Nlev)
                 paths, acc_b = self.v_bisect(kb, paths, ip, active, self.Nlev)
@@ -362,6 +383,13 @@ class Sweeper:
                                            paths[:, M - 1], ip)
                 paths = jnp.concatenate([body, paths[:, M - 1:]], axis=1)
                 acc_b = accS  # [S, W]: every shard's window counts
+            elif use_fcache:
+                paths, fodd, acc_h = self.v_head(
+                    kh, paths, ip, active, self.Lstag, fodd=fodd)
+                paths, fodd, acc_t = self.v_tail(
+                    kt, paths, ip, active, self.Lstag, fodd=fodd)
+                paths, fodd, acc_b = self.v_staging(
+                    kb, paths, ip, active, self.Lstag, fodd=fodd)
             else:
                 paths, acc_h = self.v_head(kh, paths, ip, active, self.Lstag)
                 paths, acc_t = self.v_tail(kt, paths, ip, active, self.Lstag)
@@ -372,7 +400,7 @@ class Sweeper:
             ctr = ctr.at[_CIDX["acc_head"]].add(_i32sum(acc_h))
             ctr = ctr.at[_CIDX["acc_tail"]].add(_i32sum(acc_t))
             ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc_b))
-            return paths, ctr
+            return paths, fodd, ctr
 
         if cfg.Nstag > 0 and self.fused_diag:
             # composite sweep: (a) head+tail of each particle merged into
@@ -448,20 +476,25 @@ class Sweeper:
             paths, fodd, ctr = lax.fori_loop(0, cfg.Nstag * ngroups,
                                              int_body, (paths, fodd, ctr))
         elif cfg.Nstag > 0:
-            paths, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body,
-                                       (paths, ctr))
+            paths, fodd, ctr = lax.fori_loop(0, cfg.Nstag * Np, stag_body,
+                                             (paths, fodd, ctr))
 
         # ---- 4. worm updates + OBDM (vpi.f90:370-404) ----
         nrho = stats.nrho
         if cfg.CWorm > 0.0 and cfg.Nobdm > 0:
             def worm_body(iobdm, carry):
-                paths, xend, in_cycle, iperm, ctr, nrho = carry
+                paths, xend, fodd, in_cycle, iperm, ctr, nrho = carry
                 act = isopen
                 nact = _i32sum(act)
                 for h in (1, 2):
-                    paths, xend, acc = self.v_trans_half[h](
-                        self._mk_t(k_step, 30 + h, iobdm), paths, xend,
-                        iworm, h, act, delta)
+                    kcm = self._mk_t(k_step, 30 + h, iobdm)
+                    if use_fcache:
+                        paths, xend, fodd, acc = self.v_trans_half[h](
+                            kcm, paths, xend, iworm, h, act, delta,
+                            fodd=fodd)
+                    else:
+                        paths, xend, acc = self.v_trans_half[h](
+                            kcm, paths, xend, iworm, h, act, delta)
                     ctr = ctr.at[_CIDX["try_cm_half"]].add(nact)
                     ctr = ctr.at[_CIDX["acc_cm_half"]].add(
                         _i32sum(acc))
@@ -469,12 +502,23 @@ class Sweeper:
                     kh = self._mk_t(k_step, 40 + h, iobdm)
                     kt = self._mk_t(k_step, 42 + h, iobdm)
                     ks = self._mk_t(k_step, 44 + h, iobdm)
-                    paths, xend, acc_h = self.v_head_half[h](
-                        kh, paths, xend, iworm, h, act, self.Lstag)
-                    paths, xend, acc_t = self.v_tail_half[h](
-                        kt, paths, xend, iworm, h, act, self.Lstag)
-                    paths, xend, acc_s = self.v_stag_half[h](
-                        ks, paths, xend, iworm, h, act, self.Lstag)
+                    if use_fcache:
+                        paths, xend, fodd, acc_h = self.v_head_half[h](
+                            kh, paths, xend, iworm, h, act, self.Lstag,
+                            fodd=fodd)
+                        paths, xend, fodd, acc_t = self.v_tail_half[h](
+                            kt, paths, xend, iworm, h, act, self.Lstag,
+                            fodd=fodd)
+                        paths, xend, fodd, acc_s = self.v_stag_half[h](
+                            ks, paths, xend, iworm, h, act, self.Lstag,
+                            fodd=fodd)
+                    else:
+                        paths, xend, acc_h = self.v_head_half[h](
+                            kh, paths, xend, iworm, h, act, self.Lstag)
+                        paths, xend, acc_t = self.v_tail_half[h](
+                            kt, paths, xend, iworm, h, act, self.Lstag)
+                        paths, xend, acc_s = self.v_stag_half[h](
+                            ks, paths, xend, iworm, h, act, self.Lstag)
                     ctr = ctr.at[_CIDX["try_stag_half"]].add(nact)
                     ctr = ctr.at[_CIDX["acc_head_half"]].add(
                         _i32sum(acc_h))
@@ -483,9 +527,14 @@ class Sweeper:
                     ctr = ctr.at[_CIDX["acc_bd_half"]].add(
                         _i32sum(acc_s))
                 if cfg.swapping:
-                    paths, xend, acc_sw, partner = self.v_swap(
-                        self._mk_t(k_step, 50, iobdm), paths, xend, iworm,
-                        act, self.Lstag)
+                    ksw = self._mk_t(k_step, 50, iobdm)
+                    if use_fcache:
+                        paths, xend, fodd, acc_sw, partner = self.v_swap(
+                            ksw, paths, xend, iworm, act, self.Lstag,
+                            fodd=fodd)
+                    else:
+                        paths, xend, acc_sw, partner = self.v_swap(
+                            ksw, paths, xend, iworm, act, self.Lstag)
                     ctr = ctr.at[_CIDX["try_swap"]].add(nact)
                     ctr = ctr.at[_CIDX["acc_swap"]].add(
                         _i32sum(acc_sw))
@@ -504,11 +553,11 @@ class Sweeper:
                     onehot_b = (ibin[:, None]
                                 == jnp.arange(cfg.Nbin)).astype(wpw.dtype)
                     nrho = nrho + contrib.T @ onehot_b
-                return paths, xend, in_cycle, iperm, ctr, nrho
+                return paths, xend, fodd, in_cycle, iperm, ctr, nrho
 
-            paths, xend, in_cycle, iperm, ctr, nrho = lax.fori_loop(
+            paths, xend, fodd, in_cycle, iperm, ctr, nrho = lax.fori_loop(
                 0, cfg.Nobdm, worm_body,
-                (paths, xend, in_cycle, iperm, ctr, nrho))
+                (paths, xend, fodd, in_cycle, iperm, ctr, nrho))
 
         # ---- 5. estimators for diagonal walkers (vpi.f90:441-469) ----
         state = state._replace(paths=paths, xend=xend, isopen=isopen,

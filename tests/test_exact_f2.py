@@ -127,6 +127,43 @@ def test_cached_sweep_matches_brute_trajectory():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-8, atol=1e-10)
 
 
+def test_cached_sweep_matches_brute_trajectory_production():
+    """Round-4 gate on VERDICT r3 item 1: the cache must ride the PRODUCTION
+    configuration — the unfused reference-order sweep (fused_sweep=False,
+    the flagship default) WITH the worm phase (open/close, half-chain moves,
+    swap) — and still reproduce the brute-force trajectory and acceptance
+    counters exactly."""
+    from pathintegralgroundstate_tpu.state import init_state
+    from pathintegralgroundstate_tpu.sweep import Sweeper, run_block
+    from pathintegralgroundstate_tpu.system import make_system, make_tables
+    import jax
+
+    for sampling in ("bis", "sta"):
+        outs = []
+        for cache in (True, False):
+            cfg = SimConfig(dim=3, Np=6, density=0.3, dt=5e-3, Nb=8,
+                            sampling=sampling, Nlev=2, Lstag=4, Nstag=2,
+                            CMFreq=1, delta_cm=0.1, Rm=1.2, swapping=True,
+                            CWorm=0.5, Nobdm=2, n_walkers=8,
+                            dtype="float64", potential="aziz2",
+                            exact_f2=True, f2_cache=cache,
+                            fused_sweep=False, seed=3, Nstep=3)
+            system = make_system(cfg)
+            tables = make_tables(system)
+            sweeper = Sweeper(system, tables)
+            assert not sweeper.fused_diag
+            state = init_state(system)
+            state, stats = jax.jit(
+                lambda s: run_block(system, tables, sweeper, s, 3))(state)
+            outs.append((np.asarray(state.paths), np.asarray(state.xend),
+                         np.asarray(stats.counters)))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-8,
+                                   atol=1e-10, err_msg=sampling)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-8,
+                                   atol=1e-10)
+        np.testing.assert_array_equal(outs[0][2], outs[1][2])
+
+
 def test_mcmillan_c1_continuous_at_rcut():
     """'mcmillan_c1' trial WF: u and u' vanish continuously at rcut, so the
     truncated psi_T has no delta-shell Laplacian terms and the mixed
