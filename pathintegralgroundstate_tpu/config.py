@@ -135,11 +135,13 @@ class SimConfig:
                                  # sampled measure; see ops/pairwise.delta_pot
                                  # and docs/VALIDATION.md)
     f2_cache: bool = True        # with exact_f2: maintain the per-step
-                                 # force-field cache so the fused diagonal
-                                 # moves get exact F^2 at O(N) per bead
-                                 # (delta_pot_cached); False = brute-force
-                                 # O(N^2) field differences everywhere
-                                 # (validation path)
+                                 # ODD-BEAD force-field cache (the only
+                                 # beads whose F^2 carries Chin weight) so
+                                 # EVERY move — diagonal, fused, and worm —
+                                 # gets exact F^2 at O(N) per displaced
+                                 # bead (delta_pot_cached semantics);
+                                 # False = brute-force O(N^2) field
+                                 # differences everywhere (validation path)
     shared_windows: bool = True  # one window offset per move site shared by
                                  # all walkers (exact kernel mixture, ~10x
                                  # faster; see ops.moves._window_start).

@@ -36,8 +36,8 @@ import numpy as np
 from jax import lax
 
 from ..system import System, Tables
-from .moves import _mi, _window_start, _wrap_pos, get_chain, metropolis, \
-    set_chain, _slice_beads, _update_beads
+from .moves import _codd_window, _codd_window_rev, _mi, _window_start, \
+    _wrap_pos, get_chain, metropolis, set_chain, _slice_beads, _update_beads
 from .pairwise import delta_action, delta_action_rows
 
 
@@ -90,16 +90,13 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
     return d2, delta, m, xold, xnew
 
 
-def _cache_writeback(fodd, f_seg, dF_seg, alive, ii, axis1_len: int):
-    """Apply the alive-gated window increments dF_seg to the cache window
-    f_seg and write it back into fodd at bead offset ii (scalar: one DUS;
-    per-walker: batched scatter, mirroring the paths write-back forms)."""
-    dF_fin = jnp.where(alive[:, None, None, None], dF_seg, 0.0)
-    f_new = f_seg + dF_fin
-    if jnp.ndim(ii) == 0:
-        return lax.dynamic_update_slice_in_dim(fodd, f_new, ii, axis=1)
+def _cache_write_k(fodd, f_new, k0):
+    """Write cache rows back at cache-row offset k0 (scalar: one DUS;
+    per-walker: batched scatter)."""
+    if jnp.ndim(k0) == 0:
+        return lax.dynamic_update_slice_in_dim(fodd, f_new, k0, axis=1)
     W = fodd.shape[0]
-    idx = ii[:, None] + jnp.arange(axis1_len)
+    idx = k0[:, None] + jnp.arange(f_new.shape[1])
     return fodd.at[jnp.arange(W)[:, None], idx].set(f_new)
 
 
@@ -108,10 +105,13 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     """Interior multilevel bisection over an even-aligned window of
     2**level links.
 
-    fodd [W, M, N, D] (optional): all-bead force-field cache — hoisted as
-    ONE contiguous window slice (like the paths window), level rows sliced
-    from that small block, written back with one dynamic-update-slice gated
-    by the FINAL alive mask (see module note)."""
+    fodd [W, Nb, N, D] (optional): odd-bead force-field cache.  Only the
+    LAST level's midpoints sit on odd beads (level ilev displaces beads at
+    offsets 2^(nlev-ilev) * (2j+1) from the even window start), so every
+    other level runs with need_f2=False and zero cache traffic; the last
+    level's midpoints are exactly the window's odd beads — one contiguous
+    cache slice, one dynamic-update-slice write-back gated by the FINAL
+    alive mask (see module note)."""
     M = system.M
     W = paths.shape[0]
     seg_len = 2 ** level
@@ -125,21 +125,28 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(seg_len + 1)
     ib_seg = jnp.broadcast_to(ib_seg, (W, seg_len + 1))
     if fodd is not None:
-        f_seg = _slice_beads(fodd, ii, seg_len + 1)
-        dF_seg = jnp.zeros_like(f_seg)
+        f_seg, _, k0 = _codd_window(fodd, ii, 0, seg_len)
 
     seg = seg0
     alive = active
+    dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
                                                    ilev, level)
-        if fodd is not None:
+        if fodd is not None and ilev == level:
+            # last level: midpoints d2=1, delta=2 — all the window's odd
+            # beads, 1:1 with the hoisted cache rows
             rows, dfield = delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-                ib_seg[:, d2::delta], fold=f_seg[:, d2::delta],
+                ib_seg[:, d2::delta], fold=f_seg, fold_sub=(0, 1),
                 need_wf=False)
             dS = jnp.sum(rows, axis=-1)
-            dF_seg = _strided_set(dF_seg, dfield, 1, d2, delta, seg_len)
+        elif fodd is not None:
+            # even-bead midpoints: zero Chin F^2 weight, no cache traffic
+            dS = jnp.sum(delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], need_wf=False, need_f2=False),
+                axis=-1)
         else:
             dS = jnp.sum(delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
@@ -156,7 +163,8 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
     if fodd is not None:
-        fodd = _cache_writeback(fodd, f_seg, dF_seg, alive, ii, seg_len + 1)
+        f_new = f_seg + jnp.where(alive[:, None, None, None], dfield, 0.0)
+        fodd = _cache_write_k(fodd, f_new, k0)
         return paths, fodd, alive
     return paths, alive
 
@@ -180,12 +188,13 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
         R_seg = paths[:, M - 1 - seg_len:][:, ::-1]
         ib_seg = jnp.broadcast_to(
             jnp.arange(M - 1, M - 2 - seg_len, -1), (W, seg_len + 1))
-        f_seg = fodd[:, M - 1 - seg_len:][:, ::-1] if fodd is not None \
-            else None
+        if fodd is not None:
+            f_seg, _, k_lo = _codd_window_rev(fodd, M - 1, 0, seg_len)
     else:
         R_seg = paths[:, : seg_len + 1]
         ib_seg = jnp.broadcast_to(jnp.arange(seg_len + 1), (W, seg_len + 1))
-        f_seg = fodd[:, : seg_len + 1] if fodd is not None else None
+        if fodd is not None:
+            f_seg, _, k_lo = _codd_window(fodd, 0, 0, seg_len)
     seg0 = R_seg[:, :, ip, :]      # window-first chain access (see bisection)
 
     # free-gaussian guess for the terminal bead, sigma = sqrt(2**nlev*dt),
@@ -197,12 +206,11 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     xmid = xold0 - _mi(system, xold0 - anchor)
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(seg_len * dt) * g)
     if fodd is not None:
-        dF_seg = jnp.zeros_like(f_seg)
-        rows0, dfield0 = delta_action_rows(
+        # the terminal bead (0 or M-1) is EVEN: its F^2 weight is zero, so
+        # the gate needs neither forces nor cache rows
+        dS0 = jnp.sum(delta_action_rows(
             system, tables, R_seg[:, :1], xnew0[:, None], xold0[:, None],
-            ip, ib_seg[:, :1], fold=f_seg[:, :1])
-        dS0 = jnp.sum(rows0, axis=-1)
-        dF_seg = dF_seg.at[:, :1].set(dfield0)
+            ip, ib_seg[:, :1], need_f2=False), axis=-1)
     else:
         dS0 = jnp.sum(delta_action(system, tables, R_seg[:, :1],
                                    xnew0[:, None], xold0[:, None], ip,
@@ -210,16 +218,22 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     alive = active & metropolis(k_acc0, dS0)
     seg = seg0.at[:, 0].set(xnew0)
 
+    dfield = None
     for ilev in range(1, nlev + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
                                                    seg, ilev, nlev)
-        if fodd is not None:
+        if fodd is not None and ilev == nlev:
+            # last level == the window's odd beads (see bisection)
             rows, dfield = delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-                ib_seg[:, d2::delta], fold=f_seg[:, d2::delta],
+                ib_seg[:, d2::delta], fold=f_seg, fold_sub=(0, 1),
                 need_wf=False)
             dS = jnp.sum(rows, axis=-1)
-            dF_seg = _strided_set(dF_seg, dfield, 1, d2, delta, seg_len)
+        elif fodd is not None:
+            dS = jnp.sum(delta_action_rows(
+                system, tables, R_seg[:, d2::delta], xnew, xold, ip,
+                ib_seg[:, d2::delta], need_wf=False, need_f2=False),
+                axis=-1)
         else:
             dS = jnp.sum(delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
@@ -238,11 +252,9 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
             paths, seg_fin[:, :, None, :].astype(paths.dtype),
             (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
     if fodd is not None:
-        dF_fin = jnp.where(alive[:, None, None, None], dF_seg, 0.0)
-        f_new = f_seg + dF_fin
-        lo = M - 1 - seg_len if tail else 0
+        f_new = f_seg + jnp.where(alive[:, None, None, None], dfield, 0.0)
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1] if tail else f_new, lo, axis=1)
+            fodd, f_new[:, ::-1] if tail else f_new, k_lo, axis=1)
         return paths, fodd, alive
     return paths, alive
 
@@ -341,22 +353,20 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     R_ends = jnp.stack([R_head[:, 0], R_tail[:, 0]], axis=1)    # [W, 2, N, D]
     ib_ends = jnp.broadcast_to(jnp.array([0, M - 1]), (W, 2))
     if fodd is not None:
-        # hoist the cache windows ONCE, contiguous, like R_head/R_tail —
-        # per-level strided slices of the full [W, M, N, D] cache lower to
-        # whole-array mini-gather passes (the round-3 profiling story)
-        f_head = fodd[:, : L + 1]
-        f_tail = fodd[:, M - 1 - L:][:, ::-1]
-        dF_seg = jnp.zeros(seg0.shape[:3] + (cfg.Np, cfg.dim), dtype)
-        fold0 = jnp.stack([f_head[:, 0], f_tail[:, 0]], axis=1)
-        dS0, dfield0 = delta_action_rows(system, tables, R_ends, xnew0,
-                                         xold0, ip, ib_ends, fold=fold0)
-        dF_seg = dF_seg.at[:, :, 0].set(dfield0)
+        # hoist the odd-bead cache windows ONCE, contiguous, like
+        # R_head/R_tail.  The terminal beads 0 and M-1 are EVEN (zero F^2
+        # weight), so the end gate is cache-free with need_f2=False.
+        f_head, _, k_h = _codd_window(fodd, 0, 0, L)
+        f_tail, _, k_t = _codd_window_rev(fodd, M - 1, 0, L)
+        dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
+                                ib_ends, need_f2=False)
     else:
         dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
                                 ib_ends)
     alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
     seg = seg0.at[:, :, 0].set(xnew0)
 
+    dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
                                                    seg, ilev, level)
@@ -369,15 +379,15 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
             ib2[:, d2::delta].reshape(1, 2 * m), (W, 2 * m))
         xn2 = xnew.reshape(W, 2 * m, -1)
         xo2 = xold.reshape(W, 2 * m, -1)
-        if fodd is not None:
-            fold = jnp.concatenate(
-                [f_head[:, d2:L:delta], f_tail[:, d2:L:delta]], axis=1)
+        if fodd is not None and ilev == level:
+            # last level == both windows' odd beads (see bisection)
+            fold = jnp.concatenate([f_head, f_tail], axis=1)
             rows, dfield = delta_action_rows(
                 system, tables, R_mid, xn2, xo2, ip, ib_mid, fold=fold,
-                need_wf=False)
-            dF_seg = _strided_set(
-                dF_seg, dfield.reshape(W, 2, m, *dfield.shape[2:]), 2, d2,
-                delta, L)
+                fold_sub=(0, 1), need_wf=False)
+        elif fodd is not None:
+            rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
+                                     ib_mid, need_wf=False, need_f2=False)
         else:
             rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
                                      ib_mid, need_wf=False)
@@ -394,11 +404,14 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         paths, seg_fin[:, 1, ::-1][:, :, None, :].astype(paths.dtype),
         (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
     if fodd is not None:
-        dF_fin = jnp.where(alive[:, :, None, None, None], dF_seg, 0.0)
+        mo = L // 2
+        gh = alive[:, 0][:, None, None, None]
+        gt = alive[:, 1][:, None, None, None]
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_head + dF_fin[:, 0], 0, axis=1)
+            fodd, f_head + jnp.where(gh, dfield[:, :mo], 0.0), k_h, axis=1)
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, (f_tail + dF_fin[:, 1])[:, ::-1], M - 1 - L, axis=1)
+            fodd, (f_tail + jnp.where(gt, dfield[:, mo:], 0.0))[:, ::-1],
+            k_t, axis=1)
         return paths, fodd, alive[:, 0], alive[:, 1]
     return paths, alive[:, 0], alive[:, 1]
 
@@ -450,9 +463,11 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     seg = seg0
     alive = active
     if fodd is not None:
-        f_big = lax.dynamic_slice_in_dim(fodd, s, span + 1, axis=1)
-        dF_big = jnp.zeros_like(f_big)
+        # odd beads of the span: s+1, s+3, .. — cache rows s//2 onward,
+        # exactly the last level's midpoints (see bisection)
+        f_big = lax.dynamic_slice_in_dim(fodd, s // 2, span // 2, axis=1)
 
+    dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
                                                    ilev, level)
@@ -469,19 +484,15 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
             ip_mat[None, :, None], (W, K, m)).reshape(W, K * m)
         xn2 = xnew.reshape(W, K * m, -1)
         xo2 = xold.reshape(W, K * m, -1)
-        if fodd is not None:
-            fold = f_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)[
-                :, :, d2::delta].reshape(W, K * m, cfg.Np, cfg.dim)
+        if fodd is not None and ilev == level:
+            # last level: K*m == span//2 midpoints, 1:1 with f_big rows
             rows, dfield = delta_action_rows(
-                system, tables, R_mid, xn2, xo2, ip_rows, ib_mid, fold=fold,
-                need_wf=False)
-            # slot-factored strided write (see idx_np): [W, K, L, N, D]
-            dFr = dF_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)
-            dFr = _strided_set(dFr, dfield.reshape(W, K, m, cfg.Np, cfg.dim),
-                               2, d2, delta, L)
-            dF_big = jnp.concatenate(
-                [dFr.reshape(W, span, cfg.Np, cfg.dim), dF_big[:, span:]],
-                axis=1)
+                system, tables, R_mid, xn2, xo2, ip_rows, ib_mid,
+                fold=f_big, fold_sub=(0, 1), need_wf=False)
+        elif fodd is not None:
+            rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
+                                     ip_rows, ib_mid, need_wf=False,
+                                     need_f2=False)
         else:
             rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
                                      ip_rows, ib_mid, need_wf=False)
@@ -497,13 +508,10 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
             paths, upd.astype(paths.dtype),
             (jnp.int32(0), s + k * L + 1, ips_arr[k], jnp.int32(0)))
     if fodd is not None:
-        # per-slot final gate: slot k's increments live at rows kL+1..kL+L-1
-        # (boundary rows are never displaced and stay zero)
-        slot_alive = jnp.repeat(alive, L, axis=1)             # [W, K*L]
-        slot_alive = jnp.concatenate(
-            [slot_alive, alive[:, -1:]], axis=1)              # [W, span+1]
-        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dF_big, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(fodd, f_big, s, axis=1)
+        # per-slot final gate: slot k's increments are its L/2 odd rows
+        slot_alive = jnp.repeat(alive, L // 2, axis=1)        # [W, span//2]
+        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dfield, 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, f_big, s // 2, axis=1)
         return paths, fodd, alive
     return paths, alive
 

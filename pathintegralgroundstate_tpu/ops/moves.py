@@ -220,7 +220,8 @@ def _bridge_tables(Lmax: int, dt: float):
 
 def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
                    ip, Ls, first_mode: str, first_w, first_pos=None,
-                   start_parity=None, fixed_L=None, fold=None):
+                   start_parity=None, fixed_L=None, fold=None,
+                   fold_sub=(0, 1)):
     """Regrow path segments in 'head orientation', whole ensemble at once.
 
     seg:    [W, Lb+1, D] bead positions (index 0 = the end being regrown,
@@ -238,9 +239,10 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
              from the traced ib_seg — see ops/pairwise.delta_action_rows).
     fixed_L: static int when every walker's Ls equals it (interior staging)
              — selects the single-matrix bridge matmul.
-    fold:    force-field cache rows for the window's DISPLACED beads
-             (rows 0..Lb-1), switching the F^2 term to the cached exact
-             form; returns the cache increment as a 4th output.
+    fold:    force-field cache rows under the ODD beads of the window's
+             displaced rows 0..Lb-1 (rows fold_sub[0]::fold_sub[1]),
+             switching the F^2 term to the cached exact form; returns the
+             odd-row cache increment as an extra output.
 
     Beads 1..Ls-1 are rebuilt by the exact staging recursion
     (vpi_mod.f90:509-549) toward the anchor; the interaction Delta-S of the
@@ -345,7 +347,8 @@ def segment_regrow(system: System, tables: Tables, key, seg, R_seg, ib_seg,
     need_wf = first_mode == "gauss"
     out = delta_action_sum(
         system, tables, R_seg[:, :Lb], xnew_all, xold_all, ip,
-        ib_seg[..., :Lb], fold=fold, need_wf=need_wf, row_weights=rw)
+        ib_seg[..., :Lb], fold=fold, fold_sub=fold_sub, need_wf=need_wf,
+        row_weights=rw)
 
     seg_new = seg.at[:, 0].set(xnew0).at[:, 1:Lb].set(xnews)
     if fold is not None:
@@ -362,7 +365,7 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
                     delta, fodd=None):
     """Rigid CM displacement of one particle's whole worldline (ensemble).
 
-    fodd [W, M, N, D] (optional): per-bead force-field cache — routes the
+    fodd [W, Nb, N, D] (optional): odd-bead force-field cache — routes the
     F^2 part of the acceptance through the exact cached form and returns
     the updated cache (see ops/pairwise.delta_action_rows)."""
     M = system.M
@@ -374,9 +377,9 @@ def translate_chain(system: System, tables: Tables, key, paths, ip, active,
     xnew = _wrap_pos(system, chain + dx)
     ib = jnp.broadcast_to(jnp.arange(M), (W, M))
     out = delta_action_sum(system, tables, paths, xnew, chain, ip, ib,
-                           start_parity=0, fold=fodd)
+                           start_parity=0, fold=fodd, fold_sub=(1, 2))
     if fodd is not None:
-        dS, dfield = out  # whole-chain rows = the entire cache
+        dS, dfield = out  # odd rows 1,3,..,M-2 = the entire odd cache
         acc = metropolis(k_acc, dS) & active
         fodd = fodd + jnp.where(acc[:, None, None, None], dfield, 0.0)
     else:
@@ -418,9 +421,9 @@ def translate_half_chain(system: System, tables: Tables, key, paths, xend,
     dx = delta * (2.0 * jax.random.uniform(k_dx, (W, 1, D), paths.dtype) - 1.0)
     xnew = _wrap_pos(system, xold + dx)
     if fodd is not None:
-        f_seg = fodd[:, lo:hi]
+        f_seg, sub, k0 = _codd_window(fodd, lo, lo % 2, hi - lo)
         dS, dfield = delta_action_sum(system, tables, Rw, xnew, xold, ip,
-                                      ib, fold=f_seg)
+                                      ib, fold=f_seg, fold_sub=sub)
     else:
         dS = delta_action_sum(system, tables, Rw, xnew, xold, ip, ib)
     acc = metropolis(k_acc, dS) & active
@@ -429,8 +432,7 @@ def translate_half_chain(system: System, tables: Tables, key, paths, xend,
         jnp.where(active[:, None], seg_fin[:, Nb - lo], xend[:, half - 1]))
     paths = _win_write(paths, lo, Rw, ip, seg_fin)
     if fodd is not None:
-        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(fodd, f_new, lo, axis=1)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k0)
         return paths, xend, fodd, acc
     return paths, xend, acc
 
@@ -439,19 +441,54 @@ def translate_half_chain(system: System, tables: Tables, key, paths, xend,
 # Staging moves (Staging, vpi_mod.f90:480-578)
 # ---------------------------------------------------------------------------
 
-def _cache_win_write(fodd, f_seg, dfield, acc, ii):
-    """Window cache write-back: add the acc-gated increments to the hoisted
-    window rows and write them back at bead offset ii (scalar: one DUS;
-    per-walker ii: batched scatter — mirrors the paths write-back forms).
-    dfield rows align with f_seg rows 0..B-1 (displaced beads)."""
-    B = dfield.shape[1]
-    f_new = f_seg.at[:, :B].add(
-        jnp.where(acc[:, None, None, None], dfield, 0.0))
-    if jnp.ndim(ii) == 0:
-        return jax.lax.dynamic_update_slice_in_dim(fodd, f_new, ii, axis=1)
-    W = fodd.shape[0]
-    idx = ii[:, None] + jnp.arange(f_seg.shape[1])
-    return fodd.at[jnp.arange(W)[:, None], idx].set(f_new)
+# ---------------------------------------------------------------------------
+# Odd-bead force-field cache plumbing (exact Chin F^2, cfg.exact_f2+f2_cache)
+#
+# The Chin action's F^2 term carries weight ONLY on odd interior beads
+# (global_mod.f90:33-46; ops/pairwise.chin_weights), so the cache `codd`
+# holds the per-particle force field at odd beads only: codd[W, Nb, N, D]
+# with row k <-> bead 2k+1.  Every window's odd beads map to a CONTIGUOUS
+# cache-row range (windows are even-aligned), so cache slicing stays
+# dynamic-slice-shaped, and even-bead-only kernels (most bisection levels,
+# the chain-end gates) skip cache traffic entirely.
+# ---------------------------------------------------------------------------
+
+def _codd_window(codd, lo, par: int, B: int):
+    """Cache rows under the odd beads of forward window rows 0..B-1 at
+    beads lo..lo+B-1.  `par` is the STATIC parity of lo (lo itself may be
+    traced — window starts are even-aligned so parity is static).
+
+    Returns (f [W, mo, N, D], (r0, 2), k0): window rows r0::2 are the odd
+    beads, living at cache rows k0..k0+mo-1 in the same order."""
+    r0 = (par + 1) % 2
+    mo = (B - r0 + 1) // 2
+    k0 = (lo + r0) // 2               # python int or traced scalar/[W]
+    return _slice_beads(codd, k0, mo), (r0, 2), k0
+
+
+def _codd_window_rev(codd, hi: int, par: int, B: int):
+    """Reversed-window variant: rows 0..B-1 at beads hi, hi-1, ..., hi-B+1.
+    Returns (f, (r0, 2), k_lo) with f row-aligned to the reversed window's
+    odd rows (beads descending); write back f_new[::-1] at cache row
+    k_lo."""
+    r0 = (par + 1) % 2
+    mo = (B - r0 + 1) // 2
+    k_first = (hi - r0) // 2          # cache row of bead hi - r0
+    k_lo = k_first - mo + 1
+    return _slice_beads(codd, k_lo, mo)[:, ::-1], (r0, 2), k_lo
+
+
+def _cache_win_write(codd, f_seg, dfield, acc, k0):
+    """Cache write-back: add the acc-gated odd-row increments to the hoisted
+    cache rows and write them back at cache row k0 (scalar: one DUS;
+    per-walker k0: batched scatter — mirrors the paths write-back forms).
+    dfield rows align with f_seg rows."""
+    f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
+    if jnp.ndim(k0) == 0:
+        return jax.lax.dynamic_update_slice_in_dim(codd, f_new, k0, axis=1)
+    W = codd.shape[0]
+    idx = k0[:, None] + jnp.arange(f_seg.shape[1])
+    return codd.at[jnp.arange(W)[:, None], idx].set(f_new)
 
 
 def staging_move(system: System, tables: Tables, key, paths, ip, active,
@@ -470,10 +507,10 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     if fodd is not None:
-        f_seg = _slice_beads(fodd, ii, L + 1)
+        f_seg, sub, k0 = _codd_window(fodd, ii, 0, L)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-            fixed_L=L, fold=f_seg[:, :L])
+            fixed_L=L, fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
@@ -487,7 +524,7 @@ def staging_move(system: System, tables: Tables, key, paths, ip, active,
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
     if fodd is not None:
-        fodd = _cache_win_write(fodd, f_seg, dfield, acc, ii)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k0)
         return paths, fodd, acc
     return paths, acc
 
@@ -509,12 +546,17 @@ def _pin_center(system: System, paths, xend, ip, half: int, active,
     pin = jnp.where(active[:, None], xend[:, half - 1], cur)
     paths = _win_write(paths, Nb, Rrow, ip, pin[:, None, :])
     if fodd is not None:
+        if Nb % 2 == 0:
+            # the odd-bead cache never stores bead Nb when it is even —
+            # its F^2 carries zero Chin weight, so the pin is cache-free
+            return paths, fodd
         from .pairwise import delta_pot_cached
+        k = (Nb - 1) // 2
         _, _, dfield = delta_pot_cached(
             system, tables, Rrow, pin[:, None], cur[:, None], ip,
-            fodd[:, Nb: Nb + 1])
+            fodd[:, k: k + 1])
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, fodd[:, Nb: Nb + 1] + dfield, Nb, axis=1)
+            fodd, fodd[:, k: k + 1] + dfield, k, axis=1)
         return paths, fodd
     return paths
 
@@ -542,10 +584,10 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
     ib_seg = jnp.expand_dims(ii, -1) + jnp.arange(L + 1)
     Ls = jnp.full((W,), L, jnp.int32)
     if fodd is not None:
-        f_seg = _slice_beads(fodd, ii, L + 1)
+        f_seg, sub, k0 = _codd_window(fodd, ii, base % 2, L)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
-            fixed_L=L, fold=f_seg[:, :L])
+            fixed_L=L, fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "fixed", 1.0,
@@ -559,7 +601,7 @@ def staging_half_chain(system: System, tables: Tables, key, paths, xend,
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
     if fodd is not None:
-        fodd = _cache_win_write(fodd, f_seg, dfield, acc, ii)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k0)
         return paths, xend, fodd, acc
     return paths, xend, acc
 
@@ -583,10 +625,10 @@ def move_head(system: System, tables: Tables, key, paths, ip, active,
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(Lmax + 1), (W, Lmax + 1))
     if fodd is not None:
-        f_seg = fodd[:, : Lmax + 1]
+        f_seg, sub, k0 = _codd_window(fodd, 0, 0, Lmax)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-            fold=f_seg[:, :Lmax])
+            fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
@@ -594,7 +636,7 @@ def move_head(system: System, tables: Tables, key, paths, ip, active,
     seg_fin = jnp.where(acc[:, None, None], seg_new, seg)
     paths = _win_write(paths, 0, R_seg, ip, seg_fin)
     if fodd is not None:
-        fodd = _cache_win_write(fodd, f_seg, dfield, acc, 0)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k0)
         return paths, fodd, acc
     return paths, acc
 
@@ -611,10 +653,10 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     ib_seg = jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1),
                               (W, Lmax + 1))
     if fodd is not None:
-        f_seg = fodd[:, M - 1 - Lmax:][:, ::-1]
+        f_seg, sub, k_lo = _codd_window_rev(fodd, M - 1, 0, Lmax)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-            fold=f_seg[:, :Lmax])
+            fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
@@ -623,10 +665,9 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     seg_fin = seg_fin0[:, ::-1]
     paths = _win_write(paths, M - 1 - Lmax, R_seg[:, ::-1], ip, seg_fin)
     if fodd is not None:
-        f_new = f_seg.at[:, :Lmax].add(
-            jnp.where(acc[:, None, None, None], dfield, 0.0))
+        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1], M - 1 - Lmax, axis=1)
+            fodd, f_new[:, ::-1], k_lo, axis=1)
         return paths, fodd, acc
     return paths, acc
 
@@ -664,13 +705,14 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
         jnp.broadcast_to(jnp.arange(M - 1, M - 2 - Lmax, -1), (W, Lmax + 1)),
     ], axis=0)
     if fodd is not None:
-        # all-bead cache rows under each window's DISPLACED beads
+        # odd-bead cache rows under each window's DISPLACED beads
         # (0..Lmax-1 head, M-1..M-Lmax tail in reversed segment order)
-        fold = jnp.concatenate(
-            [fodd[:, :Lmax], fodd[:, M - Lmax:][:, ::-1]], axis=0)
+        f_head, sub, k_h = _codd_window(fodd, 0, 0, Lmax)
+        f_tail, _, k_t = _codd_window_rev(fodd, M - 1, 0, Lmax)
+        fold = jnp.concatenate([f_head, f_tail], axis=0)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0,
-            fold=fold)
+            fold=fold, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 1.0)
@@ -682,9 +724,11 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
     if fodd is not None:
         mh = (acc2[:W])[:, None, None, None]
         mt = (acc2[W:])[:, None, None, None]
-        fodd = fodd.at[:, :Lmax].add(jnp.where(mh, dfield[:W], 0.0))
-        fodd = fodd.at[:, M - Lmax:].add(
-            jnp.where(mt, dfield[W:, ::-1], 0.0))
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, f_head + jnp.where(mh, dfield[:W], 0.0), k_h, axis=1)
+        fodd = lax.dynamic_update_slice_in_dim(
+            fodd, (f_tail + jnp.where(mt, dfield[W:], 0.0))[:, ::-1],
+            k_t, axis=1)
         return paths, fodd, acc2[:W], acc2[W:]
     return paths, acc2[:W], acc2[W:]
 
@@ -709,10 +753,10 @@ def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(lo + jnp.arange(Lmax + 1), (W, Lmax + 1))
     if fodd is not None:
-        f_seg = fodd[:, lo: lo + Lmax + 1]
+        f_seg, sub, k0 = _codd_window(fodd, lo, lo % 2, Lmax)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
-            fold=f_seg[:, :Lmax])
+            fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
@@ -724,7 +768,7 @@ def move_head_half_chain(system: System, tables: Tables, key, paths, xend,
         xend = xend.at[:, half - 1].set(
             jnp.where(active[:, None], seg_fin[:, 0], xend[:, half - 1]))
     if fodd is not None:
-        fodd = _cache_win_write(fodd, f_seg, dfield, acc, lo)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k0)
         return paths, xend, fodd, acc
     return paths, xend, acc
 
@@ -750,10 +794,10 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
     seg = _win_chain(R_seg, ip, paths.dtype)
     ib_seg = jnp.broadcast_to(jnp.arange(hi, lo - 1, -1), (W, Lmax + 1))
     if fodd is not None:
-        f_seg = fodd[:, lo: hi + 1][:, ::-1]
+        f_seg, sub, k_lo = _codd_window_rev(fodd, hi, hi % 2, Lmax)
         seg_new, dS, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0,
-            fold=f_seg[:, :Lmax])
+            fold=f_seg, fold_sub=sub)
     else:
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", w0)
@@ -765,9 +809,8 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
         xend = xend.at[:, half - 1].set(
             jnp.where(active[:, None], seg_fin[:, 0], xend[:, half - 1]))
     if fodd is not None:
-        f_new = f_seg.at[:, :Lmax].add(
-            jnp.where(acc[:, None, None, None], dfield, 0.0))
+        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1], lo, axis=1)
+            fodd, f_new[:, ::-1], k_lo, axis=1)
         return paths, xend, fodd, acc
     return paths, xend, acc

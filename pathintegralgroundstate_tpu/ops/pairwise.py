@@ -132,7 +132,11 @@ def force_field(system: System, tables: Tables, R):
     R[..., N, D] (pair dV/dr components within rcut + trap gradient) —
     the quantity whose squared norm enters the Chin action's F^2 term.
     Matches the reference's force convention F_i = sum_j V'(r_ij)
-    (x_i - x_j)/r_ij (vpi_mod.f90:2733-2743)."""
+    (x_i - x_j)/r_ij (vpi_mod.f90:2733-2743).
+
+    The engine's cache calls this on paths[:, 1::2] — the ODD beads only,
+    the only rows whose F^2 carries a nonzero Chin weight
+    (global_mod.f90:33-46)."""
     geo, cfg = system.geo, system.cfg
     N = R.shape[-2]
     xij = _tp_constrain(system, R[..., :, None, :] - R[..., None, :, :])
@@ -360,7 +364,8 @@ def chin_weights(system: System, ib, dtype):
 
 
 def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
-                      fold=None, need_wf: bool = True):
+                      fold=None, fold_sub=(0, 1), need_wf: bool = True,
+                      need_f2: bool = True):
     """Per-bead action-delta contributions — the optimized hot-path core.
 
     ONE fused pair pass over ALL window beads: per row, the potential sum,
@@ -378,14 +383,22 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
     and eliminates the strided-layout copies (measured 1.7-2.8x faster per
     move at W=4096, docs/VALIDATION.md 'Performance').
 
-    fold [..., B, N, D]: per-particle force-field cache rows aligned with
-    the window's beads (ALL of them, not just odd — the cache is
-    maintained at every bead) — switches the F^2 term to the exact-Chin
-    cached form (delta_pot_cached semantics) and returns (dS_rows, dfield)
-    with the per-row cache increment for accepted moves.
+    need_f2=False (static): the caller guarantees every row's Chin F^2
+    weight is zero (even beads / chain ends), so all force arithmetic is
+    skipped and df2 := 0 — bitwise-identical dS because wf == 0 there.
+
+    fold [..., mo, N, D]: per-particle force-field cache rows under the
+    ODD-bead rows of the window — the rows r0::s with (r0, s) = fold_sub
+    (static).  Odd beads are the ONLY rows whose F^2 carries weight
+    (global_mod.f90:33-46 via chin_weights), so the cache lives at odd
+    beads only and all cache traffic (fold read, dfield write) is halved
+    — or skipped entirely for even-bead-only windows.  Switches the F^2
+    term to the exact-Chin cached form (delta_pot_cached semantics) and
+    returns (dS_rows, dfield[..., mo, N, D]) with the odd-row cache
+    increments for accepted moves.
 
     Without fold: cfg.exact_f2 selects the brute-force full-field O(N^2 B)
-    df2 (validation / worm-phase path); otherwise the reference's partial
+    df2 (validation path); otherwise the reference's partial
     moved-particle form (vpi_mod.f90:2825).
 
     Shapes: R [..., B, N, D]; xnew/xold [..., B, D]; ib [..., B].
@@ -396,6 +409,7 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
     wv, wf, wpsi = chin_weights(system, ib, dtype)
 
     with_pair_forces = fold is not None
+    forces = need_f2 or with_pair_forces
 
     if not with_pair_forces and not cfg.exact_f2 and cfg.pallas_rows \
             and jnp.ndim(R) == 4 and not cfg.trap:
@@ -410,22 +424,28 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
 
     def side(x):
         notself, rij2, r, xij = _pair_terms(system, x, R, ip)
-        rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
         m = notself & (rij2 <= geo.rcut2) if system.pbc else notself
         # exact-coincidence guard: at rij == 0 the force direction (and the
         # Jastrow) are singular; mask them (the potential keeps its clamped
         # hard-core wall, so overlaps still reject) — without this, rows
         # whose Chin weight is ZERO would still poison the sum via 0 * inf
         mf = m & (rij2 > 0.0)
-        vv, dv = _v_dv_of_r(system, tables, r, rinv)
-        pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)          # [..., B]
-        fr = jnp.where(mf, dv * rinv, 0.0)
-        fpair = fr[..., None] * xij                            # [..., B, N, D]
-        F = jnp.sum(fpair, axis=-2)                            # [..., B, D]
+        F = f2 = fpair = None
+        if forces:
+            rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
+            vv, dv = _v_dv_of_r(system, tables, r, rinv)
+            pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)      # [..., B]
+            fr = jnp.where(mf, dv * rinv, 0.0)
+            fpair = fr[..., None] * xij                        # [..., B, N, D]
+            F = jnp.sum(fpair, axis=-2)                        # [..., B, D]
+            if cfg.trap:
+                F = F + jas.trap_pot_grad(cfg.a_ho, x)
+            f2 = jnp.sum(F * F, axis=-1)
+        else:
+            pot = jnp.sum(jnp.where(m, _v_of_r(system, tables, r), 0.0),
+                          axis=-1)
         if cfg.trap:
             pot = pot + jas.trap_pot(cfg.a_ho, x)
-            F = F + jas.trap_pot_grad(cfg.a_ho, x)
-        f2 = jnp.sum(F * F, axis=-1)
         usum = None
         if need_wf:
             u = jnp.where(mf, _u_of_r(system, tables, r), 0.0)
@@ -439,16 +459,29 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
 
     dfield = None
     if with_pair_forces:
-        # exact Chin F^2 via the cache: moving ip changes F_ip entirely and
-        # partner j by the pair component dg_j (delta_pot_cached docstring)
-        dg = -(fp_n - fp_o)
-        df2 = (f2_n - f2_o
-               + jnp.sum(2.0 * fold * dg + dg * dg, axis=(-1, -2)))
-        sel = ~_self_mask(R, ip)[..., None]
-        dfield = jnp.where(sel, (F_n - F_o)[..., None, :], dg)
+        # exact Chin F^2 via the cache, restricted to the odd-bead rows:
+        # moving ip changes F_ip entirely and partner j by the pair
+        # component dg_j (delta_pot_cached docstring)
+        r0, s = fold_sub
+        rows = slice(r0, None, s)
+        dg = -(fp_n[..., rows, :, :] - fp_o[..., rows, :, :])  # [.., mo, N, D]
+        df2_o = (f2_n[..., rows] - f2_o[..., rows]
+                 + jnp.sum(2.0 * fold * dg + dg * dg, axis=(-1, -2)))
+        if (r0, s) == (0, 1):
+            df2 = df2_o
+        else:
+            df2 = jnp.zeros_like(pot_n).at[..., rows].set(df2_o)
+        ip_o = ip
+        if jnp.ndim(jnp.asarray(ip)) == 2:           # per-row particles
+            ip_o = jnp.asarray(ip)[..., rows]
+        sel = ~_self_mask(fold, ip_o)[..., None]
+        dF_o = F_n[..., rows, :] - F_o[..., rows, :]
+        dfield = jnp.where(sel, dF_o[..., None, :], dg)
+    elif not need_f2:
+        df2 = jnp.zeros_like(pot_n)
     elif cfg.exact_f2:
         # exact Chin F^2 without a cache: brute-force full-field difference
-        # (O(N^2 B) validation path, f2_cache=False / worm-phase moves)
+        # (O(N^2 B) validation path, f2_cache=False)
         notself = _self_mask(R, ip)
         sel = ~notself[..., None]
         Rn = jnp.where(sel, xnew[..., None, :], R)
@@ -468,7 +501,8 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
 
 def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
                      start_parity: Optional[int] = None, fold=None,
-                     need_wf: bool = True, row_weights=None):
+                     fold_sub=(0, 1), need_wf: bool = True,
+                     row_weights=None):
     """Summed window action delta (see delta_action_rows).
 
     start_parity is accepted for backward compatibility and ignored (the
@@ -478,7 +512,7 @@ def delta_action_sum(system: System, tables: Tables, R, xnew, xold, ip, ib,
     """
     del start_parity
     out = delta_action_rows(system, tables, R, xnew, xold, ip, ib,
-                            fold=fold, need_wf=need_wf)
+                            fold=fold, fold_sub=fold_sub, need_wf=need_wf)
     rows = out[0] if fold is not None else out
     if row_weights is not None:
         rows = rows * row_weights

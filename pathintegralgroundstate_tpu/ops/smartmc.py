@@ -71,10 +71,12 @@ def mala_move(system: System, tables: Tables, key, paths, active, eps,
         from .pairwise import force_field
 
         # a whole-path move invalidates every cache row of an accepted
-        # walker; skip the O(N^2 M) field pass entirely on steps where no
-        # walker accepted (late-chain MALA acceptance can be low)
+        # walker; skip the field pass entirely on steps where no walker
+        # accepted (late-chain MALA acceptance can be low).  The cache
+        # lives at ODD beads only (paths[:, 1::2]) — the only rows whose
+        # F^2 carries Chin weight.
         def refresh(f):
-            f_new = force_field(system, tables, paths)
+            f_new = force_field(system, tables, paths[:, 1::2])
             return jnp.where(acc[:, None, None, None], f_new, f)
 
         fodd = jax.lax.cond(jnp.any(acc), refresh, lambda f: f, fodd)

@@ -16,7 +16,8 @@ from jax import lax
 
 from ..system import System, Tables
 from ..utils.pbc import minimum_image
-from .moves import get_chain, metropolis, segment_regrow, set_chain
+from .moves import _codd_window, _codd_window_rev, _slice_beads, get_chain, \
+    metropolis, segment_regrow, set_chain
 from .pairwise import delta_action
 
 
@@ -79,27 +80,33 @@ def _writeback_half(chain, half1, acc, sA_old, sA_new, sB_old, sB_new,
 
 
 def _half_fold(fodd, half1_static: bool, Nb: int, Lmax: int):
-    """Cache rows under a worm-center half segment, in segment orientation
-    (row r of the half1 buffer is bead Nb - r; half2 forward)."""
+    """Odd-bead cache rows under a worm-center half segment's displaced
+    rows 0..Lb-1, in segment orientation (half1: row r is bead Nb - r,
+    reversed; half2 forward).  Returns (f, fold_sub, k_lo)."""
     Lb = Lmax - 2
     if half1_static:
-        return fodd[:, Nb - Lb: Nb + 1][:, ::-1]
-    return fodd[:, Nb: Nb + Lb + 1]
+        return _codd_window_rev(fodd, Nb, Nb % 2, Lb)
+    return _codd_window(fodd, Nb, Nb % 2, Lb)
 
 
-def _apply_half_dfield(fodd, half1, acc, dfA, dfB, Nb: int, Lmax: int):
+def _apply_half_dfield(fodd, half1, acc, infoA, infoB, Nb: int, Lmax: int):
     """Apply the chosen half's acc-gated cache increments.
 
-    dfA rows 0..Lb-1 are beads Nb..Nb-Lb+1 (reversed half1 orientation);
-    dfB rows are beads Nb..Nb+Lb-1 (forward)."""
+    infoA/infoB = (dfield, k_lo) in each half's segment orientation.  The
+    base rows are RE-SLICED from fodd before each write: when Nb is odd the
+    two halves share the central cache row, and a stale base would revert
+    the first write (the acc gates themselves are disjoint)."""
     from jax import lax as _lax
-    Lb = Lmax - 2
+    dfA, kA = infoA
     gA = (acc & half1)[:, None, None, None]
-    fA = fodd[:, Nb - Lb + 1: Nb + 1] + jnp.where(gA, dfA[:, ::-1], 0.0)
-    fodd = _lax.dynamic_update_slice_in_dim(fodd, fA, Nb - Lb + 1, axis=1)
+    curA = _slice_beads(fodd, kA, dfA.shape[1])[:, ::-1]
+    fodd = _lax.dynamic_update_slice_in_dim(
+        fodd, (curA + jnp.where(gA, dfA, 0.0))[:, ::-1], kA, axis=1)
+    dfB, kB = infoB
     gB = (acc & ~half1)[:, None, None, None]
-    fB = fodd[:, Nb: Nb + Lb] + jnp.where(gB, dfB, 0.0)
-    return _lax.dynamic_update_slice_in_dim(fodd, fB, Nb, axis=1)
+    curB = _slice_beads(fodd, kB, dfB.shape[1])
+    return _lax.dynamic_update_slice_in_dim(
+        fodd, curB + jnp.where(gB, dfB, 0.0), kB, axis=1)
 
 
 def open_chain(system: System, tables: Tables, key, paths, xend, ip,
@@ -129,11 +136,11 @@ def open_chain(system: System, tables: Tables, key, paths, xend, ip,
         rij2 = _gap_rij2(system, seg[:, 0], anchor)
         dK = _broken_link_k(system, rij2, Ls)
         if fodd is not None:
-            fold = _half_fold(fodd, half1_static, Nb, Lmax)
+            fold, sub, kk = _half_fold(fodd, half1_static, Nb, Lmax)
             seg_new, dS, dfield = segment_regrow(
                 system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss",
-                0.5, fold=fold[:, : Lmax - 2])
-            return seg, seg_new, dS, dK, dfield
+                0.5, fold=fold, fold_sub=sub)
+            return seg, seg_new, dS, dK, (dfield, kk)
         seg_new, dS = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "gauss", 0.5)
         return seg, seg_new, dS, dK, None
@@ -181,10 +188,11 @@ def close_chain(system: System, tables: Tables, key, paths, xend, ip,
                                             half1_static, Lmax)
         pin = xend[:, 1] if half1_static else xend[:, 0]
         if fodd is not None:
-            fold = _half_fold(fodd, half1_static, Nb, Lmax)
+            fold, sub, kk = _half_fold(fodd, half1_static, Nb, Lmax)
             seg_new, dS, dfield = segment_regrow(
                 system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin",
-                0.5, first_pos=pin, fold=fold[:, : Lmax - 2])
+                0.5, first_pos=pin, fold=fold, fold_sub=sub)
+            dfield = (dfield, kk)
         else:
             seg_new, dS = segment_regrow(
                 system, tables, k_reg, seg, R_seg, ib_seg, ip, Ls, "pin",
@@ -264,10 +272,10 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     R_seg = paths[:, Nb - Lb: Nb + 1][:, ::-1]
     ib_seg = jnp.broadcast_to(jnp.arange(Nb, Nb - Lb - 1, -1), (W, Lb + 1))
     if fodd is not None:
-        f_seg = fodd[:, Nb - Lb: Nb + 1][:, ::-1]
+        f_seg, sub, k_lo = _codd_window_rev(fodd, Nb, Nb % 2, Lb)
         seg_new, dSr, dfield = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
-            first_pos=xend[:, 1], fold=f_seg[:, :Lb])
+            first_pos=xend[:, 1], fold=f_seg, fold_sub=sub)
     else:
         seg_new, dSr = segment_regrow(
             system, tables, k_reg, seg, R_seg, ib_seg, ik, Ls, "pin", 0.0,
@@ -294,13 +302,17 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     xend = xend.at[:, 1].set(
         jnp.where(acc[:, None], chain_ik[:, Nb], xend[:, 1]))
     if fodd is not None:
-        # (a) regrow increments (reversed rows -> beads Nb-Lb+1..Nb; the
-        # pin row 0 has zero increment, so including bead Nb is harmless)
-        fR = fodd[:, Nb - Lb + 1: Nb + 1] + jnp.where(
-            acc[:, None, None, None], dfield[:, ::-1], 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(fodd, fR, Nb - Lb + 1, axis=1)
-        # (b) label swap of the iw/ik force columns at beads Nb..2Nb
-        f_tail = fodd[:, Nb:]
+        # (a) regrow increments at the odd beads of [Nb-Lb, Nb] (the pin
+        # row has zero increment, so a shared central row is harmless)
+        fR = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, fR[:, ::-1], k_lo,
+                                               axis=1)
+        # (b) label swap of the iw/ik force columns at the odd beads of
+        # [Nb, 2Nb] (cache rows k_sw..Nb-1; positions at those beads are
+        # the same SET after the tail exchange, so only the two particles'
+        # force columns swap)
+        k_sw = (Nb + (Nb + 1) % 2) // 2  # cache row of first odd bead >= Nb
+        f_tail = fodd[:, k_sw:]
         dtype = f_tail.dtype
         oh_iw = jnp.arange(N) == iw[:, None]                  # [W, N]
         oh_ik = jnp.arange(N) == safe_ik[:, None]
@@ -311,7 +323,7 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
             jnp.where(oh_ik[:, None, :, None], f_iw[:, :, None, :], f_tail))
         gate = (acc & (ik != iw))[:, None, None, None]
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, jnp.where(gate, swapped, f_tail), Nb, axis=1)
+            fodd, jnp.where(gate, swapped, f_tail), k_sw, axis=1)
         return paths, xend, fodd, acc, ik
     return paths, xend, acc, ik
 

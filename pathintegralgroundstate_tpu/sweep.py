@@ -251,17 +251,19 @@ class Sweeper:
         perm_hist = stats.perm_hist
 
         # exact-F^2 force-field cache (ops/pairwise.delta_action_rows):
-        # the per-bead force field at EVERY bead, recomputed fresh once per
-        # step and maintained incrementally through every move — open/close,
-        # the fused composites, the unfused reference-order sweeps, AND the
-        # worm phase (round 4; previously fused-diagonal-only, leaving the
-        # flagship default on the O(N^2 B) brute path).  One field pass per
-        # step ~= one ThermEnergy sweep.
+        # the per-particle force field at the ODD beads — the only rows
+        # whose F^2 carries a Chin weight (global_mod.f90:33-46) —
+        # recomputed fresh once per step and maintained incrementally
+        # through every move: open/close, the fused composites, the unfused
+        # reference-order sweeps, AND the worm phase (round 4; previously
+        # fused-diagonal-only and all-bead, leaving the flagship default on
+        # the O(N^2 B) brute path and doubling the cache traffic).  One
+        # half-size field pass per step.
         use_fcache = cfg.exact_f2 and cfg.f2_cache \
             and self.sp_sweep is None
         if use_fcache:
             from .ops.pairwise import force_field
-            fodd = force_field(system, self.tables, paths)
+            fodd = force_field(system, self.tables, paths[:, 1::2])
         else:
             fodd = None
 

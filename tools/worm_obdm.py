@@ -7,7 +7,11 @@ the large-r plateau of the normalized one-body density matrix n(r)
 superfluid n(r) -> n0 as r -> rcut.  Literature for liquid He-4 at
 equilibrium density: n0 ~ 7-8% (Boninsegni 2006; experiment ~7.25%).
 
-Usage: python tools/worm_obdm.py [outdir] [nblocks]
+Usage: python tools/worm_obdm.py [outdir] [nblocks] [Nb] [dt] [W]
+
+The optional Nb / dt / W arguments drive the OBDM tau-ladder (VERDICT r3
+item 2): n0 at fixed dt for Nb = 32 / 64 / 128 (tau = 2 Nb dt ... the
+projection time per half-chain is Nb*dt) plus a dt = 2.5e-3 rung.
 """
 
 import json
@@ -34,12 +38,15 @@ BURNIN = 8
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/worm_obdm"
     nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    Nb = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    dt = float(sys.argv[4]) if len(sys.argv) > 4 else 5e-3
+    Wrun = int(sys.argv[5]) if len(sys.argv) > 5 else W
     cfg = SimConfig(
         dim=3, Np=64, density=0.365, trap=False,
-        dt=5e-3, Nb=32, sampling="bis", Lstag=32, Nlev=4, Nstag=5,
+        dt=dt, Nb=Nb, sampling="bis", Lstag=32, Nlev=4, Nstag=5,
         CMFreq=1, delta_cm=0.12, Rm=1.2,
         swapping=True, CWorm=0.5, Nobdm=10, Npw=0,
-        n_walkers=W, dtype="float32", potential="aziz2",
+        n_walkers=Wrun, dtype="float32", potential="aziz2",
         Nstep=NSTEP, Nblock=nblocks, seed=2024,
     )
     t0 = time.time()
@@ -58,7 +65,8 @@ def main():
     n0 = float(np.mean(avn[sel]))
     dn0 = float(np.sqrt(np.mean(vn[sel] ** 2) / max(sel.stop - sel.start, 1)))
     ph = acc["perm_hist"]
-    out = dict(n0=n0, dn0=dn0, obdm_blocks=int(acc["obdm_bl"]),
+    out = dict(n0=n0, dn0=dn0, Nb=Nb, dt=dt, W=Wrun,
+               obdm_blocks=int(acc["obdm_bl"]),
                diag_blocks=int(acc["diag_bl"]),
                perm_hist=[int(x) for x in ph],
                wall_s=round(time.time() - t0, 1))
