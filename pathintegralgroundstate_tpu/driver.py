@@ -73,8 +73,15 @@ class Driver:
                 jax.config.update("jax_disable_jit", True)
         self.cfg = cfg
         self.out_dir = out_dir
-        self.verbose = verbose
-        os.makedirs(out_dir, exist_ok=True)
+        # multi-host I/O discipline (SURVEY.md §2.3 'distributed backend'):
+        # every process computes the same replicated block statistics, but
+        # ONLY process 0 writes outputs (.out files, metrics.jsonl,
+        # checkpoint.npz, console) — otherwise all hosts of a pod race on
+        # the same files (VERDICT r3 item 3)
+        self.is_main = jax.process_index() == 0
+        self.verbose = verbose and self.is_main
+        if self.is_main:
+            os.makedirs(out_dir, exist_ok=True)
 
         # device mesh: walker axis data-parallel over 'dp', partner axis
         # over 'tp' (the reference is one process / one walker, vpi.f90:134;
@@ -163,6 +170,8 @@ class Driver:
     def _write_tables(self):
         """Echo tables like JastrowTable/PotentialTable (jastrow.out,
         potential.out; vpi_mod.f90:96,129)."""
+        if not self.is_main:
+            return
         geo = self.system.geo
         n = min(self.cfg.Nmax, 10000)
         if self.tables.logwf is not None:
@@ -195,14 +204,17 @@ class Driver:
         device before block k's statistics are fetched, so estimator
         reduction + host I/O overlap the next sweep (the reference does them
         serially, vpi.f90:477-545; SURVEY.md §2.3 'PP' analogue)."""
+        import contextlib
+
         cfg = self.cfg
         nblocks = nblocks if nblocks is not None else cfg.Nblock
         e_path = os.path.join(self.out_dir, "e_vpi.out")
         et_path = os.path.join(self.out_dir, "et_vpi.out")
         jl_path = os.path.join(self.out_dir, "metrics.jsonl")
         mode = "a" if (cfg.resume or self.acc["iblock"] > 0) else "w"
-        with open(e_path, mode) as fe, open(et_path, mode) as fet, \
-                open(jl_path, mode) as fjl:
+        opn = (lambda p: open(p, mode)) if self.is_main else \
+            (lambda p: contextlib.nullcontext(None))
+        with opn(e_path) as fe, opn(et_path) as fet, opn(jl_path) as fjl:
             pending = None  # (stats_device, t_dispatch, state_after_block)
             for k in range(nblocks):
                 t0 = time.time()
@@ -248,10 +260,13 @@ class Driver:
                 acc["AvSk"] += sk
                 acc["AvSk2"] += sk * sk
 
-            fe.write("%20.10e%20.10e%20.10e%20.10e\n" % (
-                ib, blk["AvE"] / cfg.Np, blk["AvK"] / cfg.Np, blk["AvV"] / cfg.Np))
-            fet.write("%20.10e%20.10e%20.10e%20.10e\n" % (
-                ib, blk["AvEt"] / cfg.Np, blk["AvKt"] / cfg.Np, blk["AvVt"] / cfg.Np))
+            if fe is not None:
+                fe.write("%20.10e%20.10e%20.10e%20.10e\n" % (
+                    ib, blk["AvE"] / cfg.Np, blk["AvK"] / cfg.Np,
+                    blk["AvV"] / cfg.Np))
+                fet.write("%20.10e%20.10e%20.10e%20.10e\n" % (
+                    ib, blk["AvEt"] / cfg.Np, blk["AvKt"] / cfg.Np,
+                    blk["AvVt"] / cfg.Np))
 
         # OBDM super-block (vpi.f90:522-539): accumulate nrho and the
         # diagonal-step count across blocks; flush into the global average
@@ -286,8 +301,9 @@ class Driver:
         # repo-wide — sweep.bead_updates_per_step, also used by bench.py)
         rec["bead_updates"] = cfg.Nstep * W * bead_updates_per_step(cfg)
         rec["bead_updates_per_s"] = rec["bead_updates"] / max(dt_block, 1e-9)
-        fjl.write(json.dumps(rec) + "\n")
-        fjl.flush()
+        if fjl is not None:
+            fjl.write(json.dumps(rec) + "\n")
+            fjl.flush()
 
         if self.verbose:
             self._print_block(ib, blk, c, nd, nsteps_tot, dt_block)
@@ -301,7 +317,8 @@ class Driver:
                 (n_int_trials, "acc_bd", "staging/bisection"),
                 ("try_stag", "acc_head", "head"),
                 ("try_stag", "acc_tail", "tail")):
-            if c[trial] >= 1000 and c[accepted] < 0.005 * c[trial]:
+            if self.is_main and c[trial] >= 1000 \
+                    and c[accepted] < 0.005 * c[trial]:
                 print(f"# WARNING: {label} acceptance collapsed "
                       f"({c[accepted]}/{c[trial]} = "
                       f"{100.0 * c[accepted] / c[trial]:.2f}%) — "
@@ -359,7 +376,7 @@ class Driver:
                 m2 = acc[f"Av{nm}2"] / nb
                 out[nm] = m / cfg.Np
                 out[f"Var{nm}"] = var(nb, m, m2) / cfg.Np
-            if not cfg.trap:
+            if not cfg.trap and self.is_main:
                 r = (np.arange(1, cfg.Nbin + 1) - 0.5) * self.system.geo.rbin
                 avg = acc["AvGr"] / nb
                 vg = np.sqrt(np.maximum(acc["AvGr2"] / nb - avg**2, 0) / nb)
@@ -379,7 +396,7 @@ class Driver:
                                np.column_stack([r] + [x for m in
                                                       range(cfg.Npw + 1)
                                                       for x in (avn[m], vn[m])]))
-        if cfg.swapping:
+        if cfg.swapping and self.is_main:
             np.savetxt(os.path.join(self.out_dir, "perm_histogram.out"),
                        np.column_stack([np.arange(1, cfg.Np + 1),
                                         acc["perm_hist"]]), fmt="%d %.0f")
@@ -396,8 +413,22 @@ class Driver:
     def save_checkpoint(self, path, state=None):
         """Full-state checkpoint (CheckPoint, vpi_mod.f90:263-309) — but as a
         single binary archive holding the walker ensemble, RNG *key* (not
-        engine state; SURVEY.md §5), and global accumulators."""
+        engine state; SURVEY.md §5), and global accumulators.
+
+        Multi-host: the walker-sharded arrays are allgathered so process 0
+        holds the full ensemble, and ONLY process 0 writes the file (all
+        hosts racing on one checkpoint.npz was VERDICT r3 item 3)."""
         st = self.state if state is None else state
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mhu
+            # gather the walker-sharded leaves to full global values; the
+            # key/step are replicated and already addressable everywhere
+            st = st._replace(**{
+                f: mhu.process_allgather(getattr(st, f), tiled=True)
+                for f in ("paths", "xend", "isopen", "iworm",
+                          "in_cycle", "iperm")})
+            if not self.is_main:
+                return
         arrs = dict(paths=np.asarray(st.paths), xend=np.asarray(st.xend),
                     isopen=np.asarray(st.isopen), iworm=np.asarray(st.iworm),
                     key=np.asarray(jax.random.key_data(st.key)),

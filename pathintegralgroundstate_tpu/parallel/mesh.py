@@ -50,7 +50,21 @@ def state_shardings(mesh: Mesh) -> MCState:
 
 def shard_state(state: MCState, mesh: Mesh) -> MCState:
     sh = state_shardings(mesh)
-    return jax.tree.map(jax.device_put, state, sh)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, state, sh)
+
+    # multi-process: every process computed the identical GLOBAL state
+    # (same seed), so each one serves its addressable shards from its full
+    # local copy.  Typed PRNG keys go through key_data/wrap_key_data (the
+    # extended dtype cannot ride make_array_from_callback directly).
+    def put(x, s):
+        is_key = jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+        data = np.asarray(jax.random.key_data(x) if is_key else x)
+        arr = jax.make_array_from_callback(
+            data.shape, s, lambda idx: data[idx])
+        return jax.random.wrap_key_data(arr) if is_key else arr
+
+    return jax.tree.map(put, state, sh)
 
 
 def sharded_block_fn(system: System, tables: Tables, sweeper: Sweeper,
