@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import SimConfig, load_namelist_config
+from .config import SimConfig, echo_namelists, load_namelist_config
 from .driver import Driver
 from .utils.cache import enable_compilation_cache
 
@@ -59,6 +59,9 @@ def main(argv=None):
     else:
         cfg = SimConfig(**overrides)
 
+    # echo every namelist back to stdout for self-contained run provenance
+    # (the reference does write(*,nml=...) after each read, vpi_mod.f90:64-75)
+    echo_namelists(cfg)
     print("==============================================================")
     print("                  VPI Monte Carlo (TPU-native)                ")
     print("==============================================================")

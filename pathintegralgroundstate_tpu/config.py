@@ -114,6 +114,11 @@ class SimConfig:
                                  # "scan" (the reference's sequential
                                  # recursion; same distribution, for parity)
     measure_every: int = 1       # estimator stride (1 = reference behaviour)
+    density_map: bool = False    # accumulate the 2-D (x, y) density map
+                                 # (DensityProfile/PrintDensity,
+                                 # sample_mod.f90:598-652 — commented out
+                                 # in the reference, first-class here);
+                                 # writes density_vpi.out
     smart_mc: float = 0.0        # MALA step size eps (>0 adds one gradient-
                                  # drifted whole-path move per step to
                                  # diagonal walkers; see ops/smartmc.py)
@@ -325,3 +330,49 @@ def load_namelist_config(path_or_text: str, is_text: bool = False, **overrides) 
         if len(kw["a_ho"]) == 1 and d > 1:
             kw["a_ho"] = tuple(kw["a_ho"][0] for _ in range(d))
     return SimConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Startup namelist echo (vpi_mod.f90:64-75: every namelist is read and then
+# written back to stdout via `write (*,nml=...)`).
+# ---------------------------------------------------------------------------
+
+_NML_GROUPS = (
+    ("system", ("dim", "Np", "density", "crystal", "trap")),
+    ("samp", ("resume", "dt", "Nb", "seed", "delta_cm", "CMFreq", "sampling",
+              "Lstag", "Nlev", "Nstag", "Nblock", "Nstep", "Nbin", "Nk")),
+    ("obdm", ("swapping", "CWorm", "Nobdm", "Npw")),
+    ("wavefun", ("Nmax", "wf_table", "v_table")),
+    ("jastrow", ("Rm",)),
+    ("extpot", ("a_ho",)),
+    # TPU-native extension keys (no reference analogue)
+    ("tpu", ("n_walkers", "dtype", "potential", "jastrow", "mesh_walkers",
+             "mesh_pairs", "mesh_beads", "distributed", "exact_f2",
+             "f2_cache", "fused_sweep", "sampling", "regrow", "smart_mc",
+             "use_pallas", "measure_every", "density_map")),
+)
+
+
+def _nml_repr(v) -> str:
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, tuple):
+        return ", ".join(_nml_repr(x) for x in v) if v else ""
+    if isinstance(v, str):
+        return f'"{v}"'
+    return repr(v)
+
+
+def echo_namelists(cfg: SimConfig, write=print) -> None:
+    """Echo every configuration group in Fortran namelist-output style,
+    making run provenance self-contained in the console log exactly like
+    the reference's `write (*,nml=...)` (vpi_mod.f90:64-75)."""
+    skip = {"jastrow"}  # cfg.jastrow is the TPU family key; Rm is the knob
+    for group, keys in _NML_GROUPS:
+        write(f"&{group.upper()}")
+        for k in keys:
+            if group != "tpu" and k in skip:
+                continue
+            v = getattr(cfg, k)
+            write(f" {k.upper()}={_nml_repr(v)},")
+        write(" /")

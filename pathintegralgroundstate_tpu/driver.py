@@ -164,6 +164,8 @@ class Driver:
             AvSk=np.zeros((cfg.dim, cfg.Nk)), AvSk2=np.zeros((cfg.dim, cfg.Nk)),
             AvNr=np.zeros((cfg.Npw + 1, cfg.Nbin)),
             AvNr2=np.zeros((cfg.Npw + 1, cfg.Nbin)),
+            AvDens=np.zeros((cfg.Nbin, cfg.Nbin)),
+            AvDens2=np.zeros((cfg.Nbin, cfg.Nbin)),
             perm_hist=np.zeros(cfg.Np),
         )
 
@@ -259,6 +261,12 @@ class Driver:
                 sk = np.asarray(stats.sk) / (cfg.Np * max(ngr, 1.0))
                 acc["AvSk"] += sk
                 acc["AvSk2"] += sk * sk
+            if cfg.density_map:
+                # per-config mean counts; PrintDensity's /rbin^2 is applied
+                # at output time (sample_mod.f90:645)
+                dens = np.asarray(stats.dens) / max(float(stats.ngr), 1.0)
+                acc["AvDens"] += dens
+                acc["AvDens2"] += dens * dens
 
             if fe is not None:
                 fe.write("%20.10e%20.10e%20.10e%20.10e\n" % (
@@ -272,8 +280,10 @@ class Driver:
         # diagonal-step count across blocks; flush into the global average
         # only when at least one block's worth of diagonal steps (Nstep per
         # walker in the reference; Nstep*W here) has been collected — this
-        # matters when the diagonal fraction is low (deep worm sectors)
-        if cfg.CWorm > 0.0 and not cfg.trap:
+        # matters when the diagonal fraction is low (deep worm sectors).
+        # Unlike the reference (which gates OBDM on .not.trap,
+        # vpi.f90:400-401), the trapped worm sector measures too.
+        if cfg.CWorm > 0.0:
             acc["nrho_carry"] = acc["nrho_carry"] + np.asarray(stats.nrho)
             acc["idiag_aux"] += nd
             if acc["idiag_aux"] / (cfg.Nstep * cfg.n_walkers) >= 1.0:
@@ -376,8 +386,8 @@ class Driver:
                 m2 = acc[f"Av{nm}2"] / nb
                 out[nm] = m / cfg.Np
                 out[f"Var{nm}"] = var(nb, m, m2) / cfg.Np
+            r = (np.arange(1, cfg.Nbin + 1) - 0.5) * self.system.geo.rbin
             if not cfg.trap and self.is_main:
-                r = (np.arange(1, cfg.Nbin + 1) - 0.5) * self.system.geo.rbin
                 avg = acc["AvGr"] / nb
                 vg = np.sqrt(np.maximum(acc["AvGr2"] / nb - avg**2, 0) / nb)
                 np.savetxt(os.path.join(self.out_dir, "gr_vpi.out"),
@@ -388,14 +398,30 @@ class Driver:
                 cols = [q.T, avs.T, vs.T]
                 np.savetxt(os.path.join(self.out_dir, "sk_vpi.out"),
                            np.hstack([c.reshape(cfg.Nk, -1) for c in cols]))
+            if cfg.CWorm > 0 and self.is_main:  # PBC AND trap (see sweep)
                 nob = max(acc["obdm_bl"], 1)
-                if cfg.CWorm > 0:
-                    avn = acc["AvNr"] / nob
-                    vn = np.sqrt(np.maximum(acc["AvNr2"] / nob - avn**2, 0) / nob)
-                    np.savetxt(os.path.join(self.out_dir, "nr_vpi.out"),
-                               np.column_stack([r] + [x for m in
-                                                      range(cfg.Npw + 1)
-                                                      for x in (avn[m], vn[m])]))
+                avn = acc["AvNr"] / nob
+                vn = np.sqrt(np.maximum(acc["AvNr2"] / nob - avn**2, 0) / nob)
+                np.savetxt(os.path.join(self.out_dir, "nr_vpi.out"),
+                           np.column_stack([r] + [x for m in
+                                                  range(cfg.Npw + 1)
+                                                  for x in (avn[m], vn[m])]))
+            if cfg.density_map and self.is_main:
+                # PrintDensity format (sample_mod.f90:633-652): rows
+                # "x y dens/rbin^2" looping x inside y, blank line per
+                # y-group; x/y are the reference's bin UPPER edges
+                rbin = self.system.geo.rbin
+                rc = self.system.geo.rcut
+                avd = acc["AvDens"] / nb / rbin ** 2
+                with open(os.path.join(self.out_dir, "density_vpi.out"),
+                          "w") as fh:
+                    for j in range(cfg.Nbin):
+                        yv = -0.5 * rc + (j + 1) * rbin
+                        for i in range(cfg.Nbin):
+                            xv = -0.5 * rc + (i + 1) * rbin
+                            fh.write(f" {xv:.10g} {yv:.10g} "
+                                     f"{avd[i, j]:.10g}\n")
+                        fh.write("\n")
         if cfg.swapping and self.is_main:
             np.savetxt(os.path.join(self.out_dir, "perm_histogram.out"),
                        np.column_stack([np.arange(1, cfg.Np + 1),

@@ -167,3 +167,29 @@ def structure_factor(system: System, Nk: int, R):
 def potential_energy(system: System, tables: Tables, R, with_force=False):
     """PotentialEnergy equivalent (sample_mod.f90:13-150)."""
     return pair_pot(system, tables, R, with_force)
+
+
+def density_map(system: System, R):
+    """2-D density map of one configuration R[N, D] (DensityProfile,
+    sample_mod.f90:598-629 — commented-out in the reference; implemented
+    here as a first-class estimator for trapped systems).
+
+    Histograms the (x, y) coordinates on an Nbin x Nbin grid covering
+    [-rcut/2, rcut/2)^2 with the reference's bin rule
+    ibin = int((x + rcut/2)/rbin), rows/cols outside the grid dropped.
+    Returns dens[Nbin, Nbin] with dens[i, j] counting particles in x-bin i,
+    y-bin j (scatter-free: one-hot compare-reduce, MXU/VPU-friendly).
+    1-D systems histogram x against a single y row.
+    """
+    cfg, geo = system.cfg, system.geo
+    nb = cfg.Nbin
+    x = R[:, 0]
+    y = R[:, 1] if cfg.dim >= 2 else jnp.zeros_like(x)
+    fx = (x + 0.5 * geo.rcut) / geo.rbin
+    fy = (y + 0.5 * geo.rcut) / geo.rbin
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    ok = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
+    ohx = ((ix[:, None] == jnp.arange(nb)) & ok[:, None]).astype(R.dtype)
+    ohy = (iy[:, None] == jnp.arange(nb)).astype(R.dtype)
+    return jnp.einsum("ni,nj->ij", ohx, ohy)

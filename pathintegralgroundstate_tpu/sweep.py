@@ -51,6 +51,7 @@ class StepStats(NamedTuple):
     gr: jnp.ndarray            # [Nbin]
     sk: jnp.ndarray            # [dim, Nk]
     nrho: jnp.ndarray          # [Npw+1, Nbin] OBDM accumulator
+    dens: jnp.ndarray          # [Nbin, Nbin] 2-D density map (cfg.density_map)
     perm_hist: jnp.ndarray     # [Np] permutation-cycle length histogram
     counters: jnp.ndarray      # [len(COUNTER_NAMES)] try/acc counters
 
@@ -75,6 +76,8 @@ def zero_stats(system: System) -> StepStats:
         gr=jnp.zeros((cfg.Nbin,), f().dtype),
         sk=jnp.zeros((cfg.dim, cfg.Nk), f().dtype),
         nrho=jnp.zeros((cfg.Npw + 1, cfg.Nbin), f().dtype),
+        dens=jnp.zeros((cfg.Nbin, cfg.Nbin) if cfg.density_map else (0, 0),
+                       f().dtype),
         perm_hist=jnp.zeros((cfg.Np,), f().dtype),
         counters=jnp.zeros((len(COUNTER_NAMES),), jnp.int32),
     )
@@ -180,6 +183,7 @@ class Sweeper:
         self.v_therm_e = partial(est.therm_energy, s, t)
         self.v_gr = _vm(partial(est.pair_correlation, s), 0)
         self.v_sk = _vm(partial(est.structure_factor, s, cfg.Nk), 0)
+        self.v_dens = _vm(partial(est.density_map, s), 0)
 
         # staging window length / bisection level
         self.Lstag = cfg.Lstag
@@ -548,13 +552,17 @@ class Sweeper:
                     in_cycle = in_cycle | (
                         jax.nn.one_hot(partner, Np, dtype=bool)
                         & acc_sw[:, None])
-                if not cfg.trap:
-                    ibin, wpw, valid = self.v_obdm(xend)  # [W], [W,Npw+1], [W]
-                    contrib = wpw * (act & valid)[:, None].astype(wpw.dtype)
-                    # one-hot matmul instead of scatter-add (MXU-friendly)
-                    onehot_b = (ibin[:, None]
-                                == jnp.arange(cfg.Nbin)).astype(wpw.dtype)
-                    nrho = nrho + contrib.T @ onehot_b
+                # OBDM accumulation in BOTH geometries: the reference gates
+                # on .not.trap (vpi.f90:400-401) so a trapped worm run
+                # measures nothing off-diagonal; here the trapped OBDM is a
+                # first-class measurement (obdm_terms' trap branch skips
+                # the minimum image)
+                ibin, wpw, valid = self.v_obdm(xend)  # [W], [W,Npw+1], [W]
+                contrib = wpw * (act & valid)[:, None].astype(wpw.dtype)
+                # one-hot matmul instead of scatter-add (MXU-friendly)
+                onehot_b = (ibin[:, None]
+                            == jnp.arange(cfg.Nbin)).astype(wpw.dtype)
+                nrho = nrho + contrib.T @ onehot_b
                 return paths, xend, fodd, in_cycle, iperm, ctr, nrho
 
             paths, xend, fodd, in_cycle, iperm, ctr, nrho = lax.fori_loop(
@@ -603,6 +611,10 @@ class Sweeper:
                     gr=new.gr + jnp.sum(gr_w * fdiag[:, None], axis=0),
                     sk=new.sk + jnp.sum(sk_w * fdiag[:, None, None], axis=0),
                 )
+            if cfg.density_map:
+                dn_w = self.v_dens(paths[:, cfg.Nb])        # [W, Nbin, Nbin]
+                new = new._replace(dens=new.dens + jnp.sum(
+                    dn_w * fdiag[:, None, None], axis=0))
             return new
 
         if cfg.measure_every == 1:

@@ -41,3 +41,23 @@ def test_crystal_file_roundtrip(tmp_path):
     Np, Lbox, density, R = read_crystal_file(str(p))
     assert Np == 4 and Lbox == (5.0, 5.0, 5.0) and density == 0.365
     assert R.shape == (4, 3) and R[1, 0] == 2.5
+
+
+def test_namelist_echo_covers_reference_keys(capsys):
+    """Startup namelist echo (vpi_mod.f90:64-75): every reference namelist
+    key appears in the echoed groups, in Fortran namelist-output style."""
+    from pathintegralgroundstate_tpu.config import SimConfig, echo_namelists
+
+    cfg = SimConfig(trap=True, a_ho=(1.0, 1.0, 1.0))
+    echo_namelists(cfg)
+    out = capsys.readouterr().out
+    for grp in ("&SYSTEM", "&SAMP", "&OBDM", "&WAVEFUN", "&JASTROW",
+                "&EXTPOT", "&TPU"):
+        assert grp in out, grp
+    for key in ("DIM", "NP", "DENSITY", "CRYSTAL", "TRAP", "RESUME", "DT",
+                "NB", "SEED", "DELTA_CM", "CMFREQ", "SAMPLING", "LSTAG",
+                "NLEV", "NSTAG", "NBLOCK", "NSTEP", "NBIN", "NK",
+                "SWAPPING", "CWORM", "NOBDM", "NPW", "NMAX", "WF_TABLE",
+                "V_TABLE", "RM", "A_HO", "N_WALKERS"):
+        assert f" {key}=" in out, key
+    assert out.count(" /") >= 7

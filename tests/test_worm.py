@@ -229,3 +229,39 @@ def test_worm_moves_leave_inactive_walkers_untouched():
             np.testing.assert_array_equal(
                 np.asarray(out[1]), np.asarray(xend),
                 err_msg=f"call #{i} changed xend")
+
+
+def test_trap_worm_obdm_and_density_map(tmp_path):
+    """TPU-native extension beyond the reference (round 4): a TRAPPED worm
+    run accumulates the OBDM (the reference gates it on .not.trap,
+    vpi.f90:400-401, so its trap+worm configuration measures nothing
+    off-diagonal), and the 2-D density map (DensityProfile/PrintDensity,
+    commented out in the reference) is a first-class estimator with a
+    center-peaked profile for a harmonically trapped gas."""
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    cfg = SimConfig(dim=2, Np=4, trap=True, a_ho=(1.0, 1.0), dt=0.05, Nb=4,
+                    sampling="sta", Lstag=4, Nstag=1, CMFreq=1,
+                    delta_cm=0.3, Rm=1.2, CWorm=0.5, Nobdm=2, Nbin=20,
+                    swapping=False, n_walkers=16, potential="none",
+                    jastrow="none", dtype="float64", seed=7, Nstep=10,
+                    Nblock=4, density_map=True)
+    drv = Driver(cfg, out_dir=str(tmp_path), verbose=False)
+    acc = drv.run()
+
+    # off-diagonal sector measured under trap
+    tot_nrho = float(np.sum(acc["AvNr"])) + float(np.sum(acc["nrho_carry"]))
+    assert tot_nrho > 0, "trapped worm accumulated no OBDM"
+    import os
+    assert os.path.exists(str(tmp_path / "nr_vpi.out"))
+
+    # density map: counts present, concentrated near the trap center
+    dens = acc["AvDens"]
+    assert float(dens.sum()) > 0
+    nb = cfg.Nbin
+    c = slice(nb // 2 - 3, nb // 2 + 3)
+    center = float(dens[c, c].sum())
+    assert center > 0.9 * float(dens.sum()), (center, float(dens.sum()))
+    out = open(str(tmp_path / "density_vpi.out")).read().splitlines()
+    # Nbin rows per y-group plus a blank separator, Nbin groups
+    assert len([ln for ln in out if ln.strip()]) == nb * nb
