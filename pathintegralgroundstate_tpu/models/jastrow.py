@@ -32,6 +32,30 @@ def mcmillan_d2u(Rm, r):
     return -15.0 * (Rm / r) ** 5 / r ** 2
 
 
+# --- 2-D dipolar Jastrow u(r) = -2 sqrt(r0/r) ------------------------------
+#
+# The zero-energy two-body scattering solution of V = Cdd/r^3 in 2-D is
+# psi(r) ~ exp(-2 sqrt(r0/r)) at short range (r0 = m Cdd / hbar^2; the
+# standard dipolar-gas trial, e.g. Astrakharchik et al., PRL 98, 060405
+# (2007)).  With r0 = Rm = Cdd (configuration units hbar^2/m = 1) the
+# |grad u|^2 = Rm/r^3 term of the local energy cancels the potential's
+# Cdd/r^3 divergence exactly — the McMillan He-4 form leaves the mixed
+# estimator unbounded for this potential.  No reference analogue
+# (system_mod.f90 keeps only a dipolar Force fragment in comments,
+# system_mod.f90:195-206).
+
+def dipolar_u(r0, r):
+    return -2.0 * jnp.sqrt(r0 / r)
+
+
+def dipolar_du(r0, r):
+    return jnp.sqrt(r0 / r) / r
+
+
+def dipolar_d2u(r0, r):
+    return -1.5 * jnp.sqrt(r0 / r) / r ** 2
+
+
 # --- Harmonic trap one-body terms -----------------------------------------
 
 def trap_psi(a_ho, x):

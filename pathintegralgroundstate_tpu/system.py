@@ -72,11 +72,23 @@ class System:
                         so u and u' vanish continuously at rcut and the
                         mixed estimator is unbiased.  Same ground state
                         (PIGS projects any trial), cleaner estimator.
+        'dipolar2d'   — zero-energy 1/r^3 two-body solution
+                        u = -2 sqrt(Rm/r), C1-matched at rcut under PBC
+                        (models/jastrow.dipolar_u; the right family for
+                        the dipolar stretch config — McMillan leaves the
+                        mixed estimator unbounded for a 1/r^3 core).
         'none'        — u == 0 (ideal Bose gas; the analytic-limit switch
                         the reference keeps in comments, system_mod.f90:63).
         """
         if self.cfg.jastrow == "none":
             return jnp.zeros_like(r)
+        if self.cfg.jastrow == "dipolar2d":
+            u = jas.dipolar_u(self.cfg.Rm, r)
+            if self.pbc:
+                rc = self.geo.rcut
+                u = u - jas.dipolar_u(self.cfg.Rm, rc) \
+                    - jas.dipolar_du(self.cfg.Rm, rc) * (r - rc)
+            return u
         u = jas.mcmillan_u(self.cfg.Rm, r)
         if self.cfg.jastrow == "mcmillan_c1" and self.pbc:
             rc = self.geo.rcut
@@ -87,6 +99,11 @@ class System:
     def du(self, r):
         if self.cfg.jastrow == "none":
             return jnp.zeros_like(r)
+        if self.cfg.jastrow == "dipolar2d":
+            du = jas.dipolar_du(self.cfg.Rm, r)
+            if self.pbc:
+                du = du - jas.dipolar_du(self.cfg.Rm, self.geo.rcut)
+            return du
         du = jas.mcmillan_du(self.cfg.Rm, r)
         if self.cfg.jastrow == "mcmillan_c1" and self.pbc:
             du = du - jas.mcmillan_du(self.cfg.Rm, self.geo.rcut)
@@ -95,6 +112,8 @@ class System:
     def d2u(self, r):
         if self.cfg.jastrow == "none":
             return jnp.zeros_like(r)
+        if self.cfg.jastrow == "dipolar2d":
+            return jas.dipolar_d2u(self.cfg.Rm, r)
         return jas.mcmillan_d2u(self.cfg.Rm, r)
 
 
