@@ -20,12 +20,15 @@ TPU-native choices (all preserve detailed balance; see ops/moves.py notes):
     negligible cross-walker correlation of proposal sizes.)
 
 Exact-F^2 cache (cfg.exact_f2 + f2_cache): the cache holds the force field
-at EVERY bead.  Each level's cached kernel returns a per-row cache
-increment; because different levels displace DISJOINT bead sets (and
-forces are equal-time), the increments are accumulated into a window-shaped
-buffer and applied to the cache ONCE at the end, gated by the FINAL alive
-mask — so a walker rejected at any level leaves the cache untouched,
-exactly matching the restored path.
+at the ODD beads only — the only rows whose F^2 carries a Chin weight.
+Bisection level ilev displaces beads at offsets 2^(nlev-ilev)*(2j+1) from
+the even window start, so ONLY the last level touches odd beads: it is the
+single cached kernel per move (its midpoints are exactly the window's odd
+beads, one contiguous cache slice), applied at the end gated by the FINAL
+alive mask — a walker rejected at any level leaves the cache untouched,
+exactly matching the restored path.  All other levels (and the chain-end
+gates, beads 0/2Nb, even) run need_f2=False: no force arithmetic, no cache
+traffic, bitwise-identical dS (their F^2 weight is exactly zero).
 """
 
 from __future__ import annotations
@@ -148,9 +151,12 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
                 ib_seg[:, d2::delta], need_wf=False, need_f2=False),
                 axis=-1)
         else:
+            # even-bead levels (ilev < level) carry zero Chin F^2 weight:
+            # need_f2=False skips the force reductions, bitwise-identical dS
             dS = jnp.sum(delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-                ib_seg[:, d2::delta], need_wf=False), axis=-1)
+                ib_seg[:, d2::delta], need_wf=False,
+                need_f2=(ilev == level)), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
@@ -237,7 +243,8 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
         else:
             dS = jnp.sum(delta_action_rows(
                 system, tables, R_seg[:, d2::delta], xnew, xold, ip,
-                ib_seg[:, d2::delta], need_wf=False), axis=-1)
+                ib_seg[:, d2::delta], need_wf=False,
+                need_f2=(ilev == nlev)), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
 
@@ -366,32 +373,33 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
     seg = seg0.at[:, :, 0].set(xnew0)
 
+    # ONE hoisted two-window partner buffer [W, 2, L+1, N, D]: every level
+    # below slices it (strided, fusable) instead of concatenating two
+    # strided slices per level — the stack/concat overhead was what made
+    # the round-3 composites lose to the unfused order (VERDICT r3 item 6)
+    R2 = jnp.stack([R_head, R_tail], axis=1)
     dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
                                                    seg, ilev, level)
-        # one batched pair kernel over BOTH segments' midpoints; all bead
-        # accesses are STRIDED SLICES (head midpoints ascend from d2, tail
-        # midpoints descend from M-1-d2 — sliced ascending then reversed)
-        R_mid = jnp.concatenate(
-            [R_head[:, d2:L:delta], R_tail[:, d2:L:delta]], axis=1)
-        ib_mid = jnp.broadcast_to(
-            ib2[:, d2::delta].reshape(1, 2 * m), (W, 2 * m))
-        xn2 = xnew.reshape(W, 2 * m, -1)
-        xo2 = xold.reshape(W, 2 * m, -1)
+        # one batched pair kernel over BOTH segments' midpoints, kept in
+        # [W, 2, m, ...] form end to end (no concat, no reshape)
+        R_mid = R2[:, :, d2:L:delta]
+        ib_mid = jnp.broadcast_to(ib2[None, :, d2::delta], (W, 2, m))
         if fodd is not None and ilev == level:
             # last level == both windows' odd beads (see bisection)
-            fold = jnp.concatenate([f_head, f_tail], axis=1)
+            fold2 = jnp.stack([f_head, f_tail], axis=1)
             rows, dfield = delta_action_rows(
-                system, tables, R_mid, xn2, xo2, ip, ib_mid, fold=fold,
+                system, tables, R_mid, xnew, xold, ip, ib_mid, fold=fold2,
                 fold_sub=(0, 1), need_wf=False)
         elif fodd is not None:
-            rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
+            rows = delta_action_rows(system, tables, R_mid, xnew, xold, ip,
                                      ib_mid, need_wf=False, need_f2=False)
         else:
-            rows = delta_action_rows(system, tables, R_mid, xn2, xo2, ip,
-                                     ib_mid, need_wf=False)
-        dS = jnp.sum(rows.reshape(W, 2, m), axis=-1)
+            rows = delta_action_rows(system, tables, R_mid, xnew, xold, ip,
+                                     ib_mid, need_wf=False,
+                                     need_f2=(ilev == level))
+        dS = jnp.sum(rows, axis=-1)                            # [W, 2]
         alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
         seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
@@ -404,13 +412,12 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         paths, seg_fin[:, 1, ::-1][:, :, None, :].astype(paths.dtype),
         (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
     if fodd is not None:
-        mo = L // 2
         gh = alive[:, 0][:, None, None, None]
         gt = alive[:, 1][:, None, None, None]
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_head + jnp.where(gh, dfield[:, :mo], 0.0), k_h, axis=1)
+            fodd, f_head + jnp.where(gh, dfield[:, 0], 0.0), k_h, axis=1)
         fodd = lax.dynamic_update_slice_in_dim(
-            fodd, (f_tail + jnp.where(gt, dfield[:, mo:], 0.0))[:, ::-1],
+            fodd, (f_tail + jnp.where(gt, dfield[:, 1], 0.0))[:, ::-1],
             k_t, axis=1)
         return paths, fodd, alive[:, 0], alive[:, 1]
     return paths, alive[:, 0], alive[:, 1]
@@ -471,32 +478,32 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
                                                    ilev, level)
-        # one pair kernel over all K slots' midpoints; the slot-k midpoint
-        # beads k*L + d2 + j*delta factor through a [K, L] reshape into one
-        # strided slice (no integer-array gather of the big window)
-        idx_np = np.concatenate(
-            [k * L + np.arange(d2, L, delta) for k in range(K)])
+        # one pair kernel over all K slots' midpoints, kept in
+        # [W, K, m, ...] form end to end (the slot-k midpoint beads
+        # k*L + d2 + j*delta factor through a [K, L] reshape into one
+        # strided slice — no integer-array gather, no flattening copies)
+        idx_np = np.stack(
+            [k * L + np.arange(d2, L, delta) for k in range(K)])   # [K, m]
         R_mid = R_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)[
-            :, :, d2::delta].reshape(W, K * m, cfg.Np, cfg.dim)
+            :, :, d2::delta]                                # [W, K, m, N, D]
         ib_mid = s + jnp.broadcast_to(
-            jnp.asarray(idx_np)[None, :], (W, K * m))
-        ip_rows = jnp.broadcast_to(
-            ip_mat[None, :, None], (W, K, m)).reshape(W, K * m)
-        xn2 = xnew.reshape(W, K * m, -1)
-        xo2 = xold.reshape(W, K * m, -1)
+            jnp.asarray(idx_np)[None], (W, K, m))
+        ip_rows = jnp.broadcast_to(ip_mat[None, :, None], (W, K, m))
         if fodd is not None and ilev == level:
             # last level: K*m == span//2 midpoints, 1:1 with f_big rows
             rows, dfield = delta_action_rows(
-                system, tables, R_mid, xn2, xo2, ip_rows, ib_mid,
-                fold=f_big, fold_sub=(0, 1), need_wf=False)
+                system, tables, R_mid, xnew, xold, ip_rows, ib_mid,
+                fold=f_big.reshape(W, K, m, cfg.Np, cfg.dim),
+                fold_sub=(0, 1), need_wf=False)
         elif fodd is not None:
-            rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
+            rows = delta_action_rows(system, tables, R_mid, xnew, xold,
                                      ip_rows, ib_mid, need_wf=False,
                                      need_f2=False)
         else:
-            rows = delta_action_rows(system, tables, R_mid, xn2, xo2,
-                                     ip_rows, ib_mid, need_wf=False)
-        dS = jnp.sum(rows.reshape(W, K, m), axis=-1)
+            rows = delta_action_rows(system, tables, R_mid, xnew, xold,
+                                     ip_rows, ib_mid, need_wf=False,
+                                     need_f2=(ilev == level))
+        dS = jnp.sum(rows, axis=-1)                               # [W, K]
         alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
         seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
@@ -510,7 +517,8 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     if fodd is not None:
         # per-slot final gate: slot k's increments are its L/2 odd rows
         slot_alive = jnp.repeat(alive, L // 2, axis=1)        # [W, span//2]
-        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dfield, 0.0)
+        dF = dfield.reshape(W, span // 2, cfg.Np, cfg.dim)
+        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dF, 0.0)
         fodd = lax.dynamic_update_slice_in_dim(fodd, f_big, s // 2, axis=1)
         return paths, fodd, alive
     return paths, alive

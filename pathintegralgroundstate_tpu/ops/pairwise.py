@@ -49,11 +49,12 @@ def _self_mask(R, ip):
     ip = jnp.asarray(ip)
     if ip.ndim == 0:
         return iota != ip  # [N]
-    if ip.ndim == 2:
-        # [W, B] -> [W, B, N]
-        return iota[None, None, :] != ip[:, :, None]
-    # [W] -> [W, 1, N] against [W, B, N]
-    return iota[None, None, :] != ip[:, None, None]
+    if ip.ndim == 1:
+        # [W] -> [W, 1, N] against [W, B, N]
+        return iota[None, None, :] != ip[:, None, None]
+    # per-row particles at any batch rank ([W, B] or [W, K, m] ...):
+    # [..., rows] -> [..., rows, N]
+    return iota != ip[..., None]
 
 
 def _tp_constrain(system: System, x):
@@ -431,19 +432,21 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
         # whose Chin weight is ZERO would still poison the sum via 0 * inf
         mf = m & (rij2 > 0.0)
         F = f2 = fpair = None
+        rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
+        # the fused (V, dV) form in BOTH branches: with need_f2=False the
+        # derivative output is simply unused (XLA dead-code-eliminates its
+        # graph) and the potential VALUES stay bitwise identical to the
+        # forces branch — so switching need_f2 per call site never moves a
+        # trajectory
+        vv, dv = _v_dv_of_r(system, tables, r, rinv)
+        pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)          # [..., B]
         if forces:
-            rinv = lax.rsqrt(jnp.where(notself, rij2, 1.0))
-            vv, dv = _v_dv_of_r(system, tables, r, rinv)
-            pot = jnp.sum(jnp.where(m, vv, 0.0), axis=-1)      # [..., B]
             fr = jnp.where(mf, dv * rinv, 0.0)
             fpair = fr[..., None] * xij                        # [..., B, N, D]
             F = jnp.sum(fpair, axis=-2)                        # [..., B, D]
             if cfg.trap:
                 F = F + jas.trap_pot_grad(cfg.a_ho, x)
             f2 = jnp.sum(F * F, axis=-1)
-        else:
-            pot = jnp.sum(jnp.where(m, _v_of_r(system, tables, r), 0.0),
-                          axis=-1)
         if cfg.trap:
             pot = pot + jas.trap_pot(cfg.a_ho, x)
         usum = None
@@ -472,7 +475,7 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
         else:
             df2 = jnp.zeros_like(pot_n).at[..., rows].set(df2_o)
         ip_o = ip
-        if jnp.ndim(jnp.asarray(ip)) == 2:           # per-row particles
+        if jnp.ndim(jnp.asarray(ip)) >= 2:           # per-row particles
             ip_o = jnp.asarray(ip)[..., rows]
         sel = ~_self_mask(fold, ip_o)[..., None]
         dF_o = F_n[..., rows, :] - F_o[..., rows, :]
