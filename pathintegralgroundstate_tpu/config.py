@@ -92,13 +92,21 @@ class SimConfig:
                                  # disables the Pallas pair kernels, and is
                                  # worthwhile for large Np (>= ~256)
     mesh_beads: int = 1          # sequence-parallel shards of the BEAD
-                                 # (imaginary-time) axis for long-M runs
-                                 # (SURVEY.md §2.3 SP row): >1 routes the
-                                 # interior staging sweep through the
-                                 # ppermute ring-halo kernel
-                                 # (parallel/beadshard.sp_staging_sweep),
-                                 # regrowing one window PER SHARD per call
-                                 # (a valid product kernel).  Requires
+                                 # (imaginary-time) axis (SURVEY.md §2.3 SP
+                                 # row): >1 routes the interior staging
+                                 # sweep through the ppermute ring-halo
+                                 # kernel (parallel/beadshard), regrowing
+                                 # one window PER SHARD per call (a valid
+                                 # product kernel).  STATUS (round 4):
+                                 # kept as a bitwise-tested CORRECTNESS
+                                 # DEMO of the ring-halo pattern and
+                                 # formally DESCOPED as a production mode
+                                 # — walker DP dominates at every
+                                 # practically reachable M (measured
+                                 # M=257: 62% of the M=65 single-chip
+                                 # rate, zero comm; the bead axis fits
+                                 # one chip to M ~ 16k; see
+                                 # docs/VALIDATION.md).  Requires
                                  # sampling='sta', CWorm=0, exact_f2=F,
                                  # mesh_walkers=mesh_pairs=1, (M-1) %
                                  # mesh_beads == 0 with even per-shard

@@ -198,8 +198,14 @@ class Sweeper:
             if cfg.sampling != "sta" or cfg.CWorm > 0.0 or cfg.exact_f2 \
                     or cfg.mesh_walkers > 1 or cfg.mesh_pairs > 1:
                 raise ValueError(
-                    "mesh_beads>1 requires sampling='sta', CWorm=0, "
-                    "exact_f2=F and mesh_walkers=mesh_pairs=1")
+                    "mesh_beads>1 is the SP correctness demo, limited to "
+                    "sampling='sta', CWorm=0, exact_f2=F and "
+                    "mesh_walkers=mesh_pairs=1.  For production long-M "
+                    "runs use walker DP instead: a single chip holds the "
+                    "full bead axis to M ~ 16k at useful walker counts, "
+                    "and measured M=257 single-chip throughput is ~62% of "
+                    "the M=65 flagship rate with zero communication "
+                    "(docs/VALIDATION.md 'SP bead-sharding').")
             import jax as _jax
 
             from .parallel.beadshard import (_check_sp_geometry,
