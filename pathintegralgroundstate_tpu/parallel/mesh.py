@@ -10,7 +10,7 @@ axis W is data-parallel across a `jax.sharding.Mesh`:
     inserts are the all-reduces of the block statistics (energy sums,
     histograms), riding ICI once per block;
   * a second mesh axis 'tp' is reserved for pair-tile (partner-axis)
-    parallelism for large Np (see parallel/pairtile.py).
+    parallelism for large Np (ops/pairwise._tp_constrain).
 
 Multi-host: call `jax.distributed.initialize()` before building the mesh;
 everything below is expressed in global arrays so the same code runs on a
