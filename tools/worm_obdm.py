@@ -32,7 +32,7 @@ from pathintegralgroundstate_tpu.driver import Driver  # noqa: E402
 
 W = 512
 NSTEP = 50
-BURNIN = 24
+BURNIN = 8
 
 
 def main():
