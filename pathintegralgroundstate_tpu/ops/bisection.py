@@ -40,7 +40,8 @@ from jax import lax
 
 from ..system import System, Tables
 from .moves import _codd_window, _codd_window_rev, _mi, _window_start, \
-    _wrap_pos, get_chain, metropolis, set_chain, _slice_beads, _update_beads
+    _wrap_pos, get_chain, metropolis, metropolis_u, set_chain, \
+    _slice_beads, _update_beads
 from .pairwise import delta_action, delta_action_rows
 
 
@@ -71,12 +72,18 @@ def _strided_set(arr, upd, axis: int, d2: int, delta: int, L: int):
         [body.reshape(pre + (L,) + post), tail], axis=axis)
 
 
-def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
+def _level_proposal(system: System, key, seg, ilev: int, nlev: int,
+                    g_rows=None):
     """Midpoint gaussian proposal of one level: returns
     (d2, delta, m, xold, xnew) with xold/xnew [..., m, D].
 
     seg [..., 2**nlev+1, D]; sigma = sqrt(dt_bis/2), dt_bis = delta*dt/2
     (vpi_mod.f90:905-907).
+
+    g_rows [..., L, D] (optional): pre-drawn gaussians indexed by WINDOW
+    POSITION — level ilev consumes rows d2::delta, so every displaced row
+    owns exactly one gaussian and the levels partition the block (the
+    batched-randoms hot path; key is ignored then).
     """
     dt = system.cfg.dt
     dtype = seg.dtype
@@ -85,7 +92,10 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int):
     xold = seg[..., d2::delta, :]                  # midpoints   [..., m, D]
     xp = seg[..., 0:L:delta, :]                    # left anchors
     xn = seg[..., delta::delta, :]                 # right anchors
-    g = jax.random.normal(key, xold.shape, dtype)
+    if g_rows is not None:
+        g = g_rows[..., d2::delta, :]
+    else:
+        g = jax.random.normal(key, xold.shape, dtype)
     sigma = jnp.sqrt(0.25 * delta * dt)
     xprev = xold + _mi(system, xp - xold)
     xnext = xold - _mi(system, xold - xn)
@@ -104,7 +114,7 @@ def _cache_write_k(fodd, f_new, k0):
 
 
 def bisection(system: System, tables: Tables, key, paths, ip, active,
-              level: int, fodd=None):
+              level: int, fodd=None, rand=None):
     """Interior multilevel bisection over an even-aligned window of
     2**level links.
 
@@ -114,12 +124,23 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     other level runs with need_f2=False and zero cache traffic; the last
     level's midpoints are exactly the window's odd beads — one contiguous
     cache slice, one dynamic-update-slice write-back gated by the FINAL
-    alive mask (see module note)."""
+    alive mask (see module note).
+
+    rand (optional): pre-drawn randoms (u_start scalar, g [W, L, D],
+    u_acc [W, level+1]) — the batched-randoms hot path (see
+    moves.metropolis_u); requires shared windows.  `key` is unused then."""
     M = system.M
     W = paths.shape[0]
     seg_len = 2 ** level
-    keys = jax.random.split(key, level + 2)
-    ii = _window_start(system, keys[0], W, (M - 1 - seg_len) // 2 + 1)
+    if rand is not None:
+        u_start, g_rows, u_acc = rand
+        keys = [None] * (level + 2)
+        n_opts = (M - 1 - seg_len) // 2 + 1
+        ii = 2 * jnp.floor(u_start * n_opts).astype(jnp.int32)
+    else:
+        g_rows = None
+        keys = jax.random.split(key, level + 2)
+        ii = _window_start(system, keys[0], W, (M - 1 - seg_len) // 2 + 1)
     R_seg = _slice_beads(paths, ii, seg_len + 1)
     # the moved particle's window comes out of the ALREADY-SLICED partner
     # block — slicing the full chain from paths forces a whole-array layout
@@ -135,7 +156,8 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
-                                                   ilev, level)
+                                                   ilev, level,
+                                                   g_rows=g_rows)
         if fodd is not None and ilev == level:
             # last level: midpoints d2=1, delta=2 — all the window's odd
             # beads, 1:1 with the hoisted cache rows
@@ -158,7 +180,11 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
                 ib_seg[:, d2::delta], need_wf=False,
                 need_f2=(ilev == level)), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
-        alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
+        if rand is not None:
+            alive = alive & metropolis_u(u_acc[:, ilev], dS)
+        else:
+            alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev),
+                                       dS)
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
     if jnp.ndim(ii) == 0:
         paths = lax.dynamic_update_slice(
@@ -177,18 +203,28 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
 
 def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
                                ip, active, nlev: int, tail: bool,
-                               fodd=None):
+                               fodd=None, rand=None):
     """MoveHead/TailBisection body at a static depth nlev
     (vpi_mod.f90:1002-1372); tail=True runs on the bead-reversed segment.
 
-    fodd: all-bead force-field cache, hoisted as one contiguous (reversed
-    for tail) window like the paths window (see bisection)."""
+    fodd: odd-bead force-field cache, hoisted as one contiguous (reversed
+    for tail) window like the paths window (see bisection).
+
+    rand (optional): (None, g [W, L, D], u_acc [W, nlev+1]) pre-drawn
+    randoms — the gate consumes g row 0 / u_acc column 0, level ilev its
+    strided g rows / u_acc column ilev (rows partition exactly)."""
     cfg = system.cfg
     M = system.M
     dt = cfg.dt
     W = paths.shape[0]
     seg_len = 2 ** nlev
-    k_g, k_acc0, *k_lev = jax.random.split(key, nlev + 3)
+    if rand is not None:
+        _, g_rows, u_acc = rand
+        k_g = k_acc0 = None
+        k_lev = [None] * (nlev + 1)
+    else:
+        g_rows = None
+        k_g, k_acc0, *k_lev = jax.random.split(key, nlev + 3)
 
     if tail:
         R_seg = paths[:, M - 1 - seg_len:][:, ::-1]
@@ -208,10 +244,13 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     dtype = seg0.dtype
     xold0 = seg0[:, 0]
     anchor = seg0[:, seg_len]
-    g = jax.random.normal(k_g, xold0.shape, dtype)
+    if rand is not None:
+        g = g_rows[:, 0]
+    else:
+        g = jax.random.normal(k_g, xold0.shape, dtype)
     xmid = xold0 - _mi(system, xold0 - anchor)
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(seg_len * dt) * g)
-    if fodd is not None:
+    if fodd is not None or rand is not None:
         # the terminal bead (0 or M-1) is EVEN: its F^2 weight is zero, so
         # the gate needs neither forces nor cache rows
         dS0 = jnp.sum(delta_action_rows(
@@ -221,13 +260,17 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
         dS0 = jnp.sum(delta_action(system, tables, R_seg[:, :1],
                                    xnew0[:, None], xold0[:, None], ip,
                                    ib_seg[:, :1]), axis=-1)
-    alive = active & metropolis(k_acc0, dS0)
+    if rand is not None:
+        alive = active & metropolis_u(u_acc[:, 0], dS0)
+    else:
+        alive = active & metropolis(k_acc0, dS0)
     seg = seg0.at[:, 0].set(xnew0)
 
     dfield = None
     for ilev in range(1, nlev + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
-                                                   seg, ilev, nlev)
+                                                   seg, ilev, nlev,
+                                                   g_rows=g_rows)
         if fodd is not None and ilev == nlev:
             # last level == the window's odd beads (see bisection)
             rows, dfield = delta_action_rows(
@@ -246,7 +289,11 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
                 ib_seg[:, d2::delta], need_wf=False,
                 need_f2=(ilev == nlev)), axis=-1)
         seg = _strided_set(seg, xnew, 1, d2, delta, seg_len)
-        alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
+        if rand is not None:
+            alive = alive & metropolis_u(u_acc[:, ilev], dS)
+        else:
+            alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev),
+                                       dS)
 
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
     ip_i = jnp.asarray(ip, jnp.int32)
@@ -267,7 +314,7 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
 
 
 def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
-                   level: int, tail: bool, fodd=None):
+                   level: int, tail: bool, fodd=None, rand=None):
     """End-segment bisection.
 
     The reference draws a random depth Nlev ~ U{2..level} per move
@@ -282,7 +329,7 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
     if not system.cfg.bis_end_random_depth or level <= 2:
         return _end_bisection_fixed_depth(system, tables, key, paths, ip,
                                           active, max(level, 2), tail,
-                                          fodd=fodd)
+                                          fodd=fodd, rand=rand)
     k_n, k_body = jax.random.split(key)
     nlev = jax.random.randint(k_n, (), 0, level - 1)  # 0 .. level-2
     branches = [
@@ -525,12 +572,12 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
 
 
 def move_head_bisection(system, tables, key, paths, ip, active, level: int,
-                        fodd=None):
+                        fodd=None, rand=None):
     return _end_bisection(system, tables, key, paths, ip, active, level,
-                          tail=False, fodd=fodd)
+                          tail=False, fodd=fodd, rand=rand)
 
 
 def move_tail_bisection(system, tables, key, paths, ip, active, level: int,
-                        fodd=None):
+                        fodd=None, rand=None):
     return _end_bisection(system, tables, key, paths, ip, active, level,
-                          tail=True, fodd=fodd)
+                          tail=True, fodd=fodd, rand=rand)

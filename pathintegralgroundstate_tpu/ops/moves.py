@@ -54,6 +54,14 @@ def metropolis(key, dS):
     return u < jnp.exp(-dS)
 
 
+def metropolis_u(u, dS):
+    """Metropolis accept from a PRE-DRAWN uniform (the batched-randoms hot
+    path: one big draw per sweep iteration instead of ~20 small key-derive
+    + draw kernels — the per-move threefry plumbing measured ~31 us of the
+    ~88 us best-W move budget)."""
+    return u < jnp.exp(-dS)
+
+
 def _mi(system: System, x):
     """Single-image wrap of a displacement (identity under a trap)."""
     if system.pbc:

@@ -189,6 +189,19 @@ class Sweeper:
         self.Lstag = cfg.Lstag
         self.Nlev = cfg.Nlev
         self.use_bisection = cfg.sampling == "bis"
+        # batched-randoms hot path for the unfused bisection sweep: the
+        # per-move threefry plumbing (fold_in + split + ~6 draw kernels per
+        # move) measured ~31 us of the ~88 us best-W move budget; drawing
+        # each move's gaussians/uniforms in 3 kernels removes most of it
+        # (ops/moves.metropolis_u).  Same distribution, different stream
+        # mapping.  LATENCY lever only: measured 97 -> 83 ms/step at the
+        # best-W point W=512 (1.37e8 bead-updates/s) but 859 -> 1181 at
+        # W=4096, where the pre-drawn [W, L, D] blocks materialize through
+        # HBM and their strided row slices cost real traffic — so it
+        # engages only for W <= 512 (static per compiled shape;
+        # W=1024 measured neutral-to-negative).
+        self.batch_rand = (self.use_bisection and cfg.shared_windows
+                           and not cfg.bis_end_random_depth)
 
         # sequence-parallel bead sharding (SURVEY.md §2.3 SP): the interior
         # staging sweep regrows ONE window per bead shard per call through
@@ -374,7 +387,41 @@ class Sweeper:
             kh = self._mk_t(k_step, 20, it)
             kt = self._mk_t(k_step, 21, it)
             kb = self._mk_t(k_step, 22, it)
-            if self.use_bisection and use_fcache:
+            if self.use_bisection and self.batch_rand and W <= 512:
+                Lw = 2 ** self.Nlev
+                dtp = paths.dtype
+
+                def draw(tag, start=False):
+                    kk = self._mk_t(k_step, tag, it)
+                    g = jax.random.normal(jax.random.fold_in(kk, 0),
+                                          (W, Lw, cfg.dim), dtp)
+                    u = jax.random.uniform(jax.random.fold_in(kk, 1),
+                                           (W, self.Nlev + 1), dtp)
+                    s = jax.random.uniform(jax.random.fold_in(kk, 2),
+                                           (), dtp) if start else None
+                    return (s, g, u)
+
+                r_h = draw(25)
+                r_t = draw(26)
+                r_b = draw(27, start=True)
+                if use_fcache:
+                    paths, fodd, acc_h = self.v_head_bis(
+                        kh, paths, ip, active, self.Nlev, fodd=fodd,
+                        rand=r_h)
+                    paths, fodd, acc_t = self.v_tail_bis(
+                        kt, paths, ip, active, self.Nlev, fodd=fodd,
+                        rand=r_t)
+                    paths, fodd, acc_b = self.v_bisect(
+                        kb, paths, ip, active, self.Nlev, fodd=fodd,
+                        rand=r_b)
+                else:
+                    paths, acc_h = self.v_head_bis(
+                        kh, paths, ip, active, self.Nlev, rand=r_h)
+                    paths, acc_t = self.v_tail_bis(
+                        kt, paths, ip, active, self.Nlev, rand=r_t)
+                    paths, acc_b = self.v_bisect(
+                        kb, paths, ip, active, self.Nlev, rand=r_b)
+            elif self.use_bisection and use_fcache:
                 paths, fodd, acc_h = self.v_head_bis(
                     kh, paths, ip, active, self.Nlev, fodd=fodd)
                 paths, fodd, acc_t = self.v_tail_bis(

@@ -253,3 +253,37 @@ def test_mala_invariance(setup):
     _, acc = jax.jit(fn)(jax.random.key(9), paths0)
     rate = float(jnp.mean(acc))
     assert 0.2 < rate <= 1.0, f"MALA acceptance {rate}"
+
+
+def _mk_rand(key, nlev, start=False, dtype=jnp.float64):
+    """Pre-drawn randoms tuple for the batched-randoms move path
+    (sweep.Sweeper batch_rand; ops/moves.metropolis_u)."""
+    g = jax.random.normal(jax.random.fold_in(key, 0),
+                          (W, 2 ** nlev, 1), dtype)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (W, nlev + 1), dtype)
+    s = jax.random.uniform(jax.random.fold_in(key, 2), (), dtype) \
+        if start else None
+    return (s, g, u)
+
+
+def test_bisection_rand_path_invariance(setup):
+    """The batched-randoms (pre-drawn) bisection kernels must preserve the
+    exact Gaussian path measure exactly like the key-driven ones — this is
+    the production hot path for W <= 512."""
+    system, tables, paths0, Sigma = setup
+    fn = lambda k, p: bis.bisection(system, tables, k, p, 0, ACTIVE, 2,
+                                    rand=_mk_rand(k, 2, start=True))
+    x = _iterate(fn, paths0, jax.random.key(204))
+    _check_invariant(x, Sigma, beads=[1, NB - 1, NB, NB + 1])
+
+
+def test_end_bisection_rand_path_invariance(setup):
+    system, tables, paths0, Sigma = setup
+    fn = lambda k, p: bis.move_head_bisection(
+        system, tables, k, p, 0, ACTIVE, 2, rand=_mk_rand(k, 2))
+    x = _iterate(fn, paths0, jax.random.key(205))
+    _check_invariant(x, Sigma, beads=[0, 1, 2, 3])
+    fn = lambda k, p: bis.move_tail_bisection(
+        system, tables, k, p, 0, ACTIVE, 2, rand=_mk_rand(k, 2))
+    x = _iterate(fn, paths0, jax.random.key(206))
+    _check_invariant(x, Sigma, beads=[2 * NB, 2 * NB - 1, 2 * NB - 3])
