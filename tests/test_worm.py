@@ -265,3 +265,31 @@ def test_trap_worm_obdm_and_density_map(tmp_path):
     out = open(str(tmp_path / "density_vpi.out")).read().splitlines()
     # Nbin rows per y-group plus a blank separator, Nbin groups
     assert len([ln for ln in out if ln.strip()]) == nb * nb
+
+
+@pytest.mark.slow
+def test_ideal_gas_sector_ratio_exact(tmp_path):
+    """The worm sector balance has an EXACT ideal-gas value: with V=0, u=0
+    the G-sector weight is CWorm*rho*V per particle-choice convention, so
+    P(diagonal) = 1/(1 + CWorm*rho*Volume) (docs/VALIDATION.md 'worm
+    sector').  This invariant is what exposed the round-4 pin bug (closed
+    walkers corrupted by unconditional worm pins) — measured to 1.5% at
+    production statistics; this CI-sized run uses a loose gate."""
+    import json
+
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    cfg = SimConfig(dim=3, Np=4, density=0.3, dt=0.05, Nb=6, sampling="sta",
+                    Lstag=4, Nstag=1, CMFreq=1, delta_cm=0.4, Rm=1.2,
+                    swapping=False, CWorm=0.5, Nobdm=2, Npw=0, Nbin=10,
+                    n_walkers=256, dtype="float64", potential="none",
+                    jastrow="none", seed=21, Nstep=25, Nblock=12)
+    drv = Driver(cfg, out_dir=str(tmp_path), verbose=False)
+    drv.run_burnin(5)
+    drv.run()
+    fracs = [json.loads(ln)["diag_frac"]
+             for ln in open(str(tmp_path / "metrics.jsonl"))]
+    V = cfg.Np / cfg.density
+    expect = 1.0 / (1.0 + cfg.CWorm * cfg.density * V)
+    got = float(np.mean(fracs))
+    assert abs(got - expect) < 0.05, (got, expect)
