@@ -40,7 +40,7 @@ def run_one(name, cfg, W):
 
 
 def main():
-    ws = [int(a) for a in sys.argv[1:]] or [2048, 4096, 8192]
+    ws = [int(a) for a in sys.argv[1:]] or [512, 4096, 8192]
     full = os.environ.get("PIGS_GRID", "") == "full"
     for W in ws:
         base = _flagship_cfg(n_walkers=W)
