@@ -61,3 +61,48 @@ def test_namelist_echo_covers_reference_keys(capsys):
                 "V_TABLE", "RM", "A_HO", "N_WALKERS"):
         assert f" {key}=" in out, key
     assert out.count(" /") >= 7
+
+
+def test_crystal_start_end_to_end(tmp_path):
+    """The reference's crystal start (config_ini.in + crystal=T,
+    vpi.f90:101-107, vpi_mod.f90:218-228) drives the CLI end to end: the
+    given lattice positions seed every bead of every walker and the box
+    comes from the file's Lbox line."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    Np, L = 4, 3.0
+    R = (np.stack(np.meshgrid([0.25, 0.75], [0.25, 0.75]), -1)
+         .reshape(-1, 2) - 0.5) * L
+    lines = [f"{Np}", f"{L} {L}", "0.444"]
+    lines += [f"{x} {y}" for x, y in R]
+    (tmp_path / "config_ini.in").write_text("\n".join(lines) + "\n")
+    (tmp_path / "run.in").write_text("""
+&system
+ dim = 2, Np = 4, crystal = T, trap = F /
+&samp
+ dt = 1.d-2, Nb = 4, sampling = 'sta', Lstag = 4, Nstag = 1, CMFreq = 1,
+ delta_cm = 0.1d0, Nblock = 1, Nstep = 2, Nbin = 10, Nk = 5 /
+&obdm
+ swapping = F, CWorm = 0.d0, Nobdm = 0, Npw = 0 /
+&wavefun
+ Nmax = 500, wf_table = F, v_table = F /
+&jastrow
+ Rm = 1.0d0 /
+&tpu
+ n_walkers = 4, dtype = 'float64', potential = 'soft' /
+""")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "pathintegralgroundstate_tpu",
+         str(tmp_path / "run.in"), "-o", str(tmp_path / "out")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stdout[-600:], out.stderr[-600:])
+    assert "crystal start" in out.stdout
+    z = np.load(str(tmp_path / "out" / "checkpoint.npz"))
+    # paths evolved FROM the lattice: the box is the file's, shapes match
+    assert z["paths"].shape == (4, 9, 4, 2)
+    assert np.all(np.abs(z["paths"]) <= L / 2 + 1e-9)
