@@ -366,7 +366,7 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
 
 
 def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
-                         active, level: int, fodd=None):
+                         active, level: int, fodd=None, rand=None):
     """MoveHeadBisection + MoveTailBisection of one particle as ONE
     composite update (valid: head displaces beads 0..2**level-1, tail
     M-2**level..M-1 — disjoint and non-adjacent when 2**(level+1) < M-1,
@@ -383,7 +383,17 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     dt = cfg.dt
     W = paths.shape[0]
     L = 2 ** level
-    k_g, k_acc0, *k_lev = jax.random.split(key, level + 3)
+    if rand is not None:
+        # (None, g2 [W, 2, L, D], u2 [W, 2, level+1]) pre-drawn randoms:
+        # g2 row j feeds displaced window row j of each segment (gate row
+        # 0, level ilev its strided rows), u2 column 0 the gate accept,
+        # column ilev the level accepts (see moves.metropolis_u)
+        _, g2, u2 = rand
+        k_g = k_acc0 = None
+        k_lev = [None] * (level + 1)
+    else:
+        g2 = None
+        k_g, k_acc0, *k_lev = jax.random.split(key, level + 3)
 
     # hoist the two CONTIGUOUS windows once; every level access below
     # slices these small blocks (strided slices of the full paths array
@@ -401,7 +411,10 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     # (vpi_mod.f90:1039-1076), both ends at once
     xold0 = seg0[:, :, 0]                                     # [W, 2, D]
     anchor = seg0[:, :, L]
-    g = jax.random.normal(k_g, xold0.shape, dtype)
+    if rand is not None:
+        g = g2[:, :, 0]
+    else:
+        g = jax.random.normal(k_g, xold0.shape, dtype)
     xmid = xold0 - _mi(system, xold0 - anchor)
     xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g)
     R_ends = jnp.stack([R_head[:, 0], R_tail[:, 0]], axis=1)    # [W, 2, N, D]
@@ -416,8 +429,11 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
                                 ib_ends, need_f2=False)
     else:
         dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
-                                ib_ends)
-    alive = active[:, None] & metropolis(k_acc0, dS0)          # [W, 2]
+                                ib_ends, need_f2=(rand is None))
+    if rand is not None:
+        alive = active[:, None] & metropolis_u(u2[:, :, 0], dS0)  # [W, 2]
+    else:
+        alive = active[:, None] & metropolis(k_acc0, dS0)         # [W, 2]
     seg = seg0.at[:, :, 0].set(xnew0)
 
     # ONE hoisted two-window partner buffer [W, 2, L+1, N, D]: every level
@@ -428,7 +444,8 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, k_lev[ilev - 1],
-                                                   seg, ilev, level)
+                                                   seg, ilev, level,
+                                                   g_rows=g2)
         # one batched pair kernel over BOTH segments' midpoints, kept in
         # [W, 2, m, ...] form end to end (no concat, no reshape)
         R_mid = R2[:, :, d2:L:delta]
@@ -447,7 +464,11 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
                                      ib_mid, need_wf=False,
                                      need_f2=(ilev == level))
         dS = jnp.sum(rows, axis=-1)                            # [W, 2]
-        alive = alive & metropolis(jax.random.fold_in(k_lev[-1], ilev), dS)
+        if rand is not None:
+            alive = alive & metropolis_u(u2[:, :, ilev], dS)
+        else:
+            alive = alive & metropolis(
+                jax.random.fold_in(k_lev[-1], ilev), dS)
         seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
@@ -471,7 +492,7 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
 
 
 def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
-                    level: int, fodd=None):
+                    level: int, fodd=None, rand=None):
     """Interior multilevel bisections of K DISTINCT particles as one
     composite update.
 
@@ -503,7 +524,15 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
         active = jnp.broadcast_to(active[:, None], (W, K))
 
     n_shift = (M - 1 - span) // 2 + 1
-    s = 2 * jax.random.randint(keys[0], (), 0, n_shift, dtype=jnp.int32)
+    if rand is not None:
+        # (u_shift, gK [W, K, L, D], uK [W, K, level+1]) pre-drawn randoms
+        # (slot-k rows feed slot k's displaced window rows; uK column ilev
+        # the level accepts — column 0 unused, interior moves have no gate)
+        u_shift, gK, uK = rand
+        s = 2 * jnp.floor(u_shift * n_shift).astype(jnp.int32)
+    else:
+        gK = None
+        s = 2 * jax.random.randint(keys[0], (), 0, n_shift, dtype=jnp.int32)
     R_big = lax.dynamic_slice_in_dim(paths, s, span + 1, axis=1)
     dtype = paths.dtype
 
@@ -524,7 +553,7 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     dfield = None
     for ilev in range(1, level + 1):
         d2, delta, m, xold, xnew = _level_proposal(system, keys[ilev], seg,
-                                                   ilev, level)
+                                                   ilev, level, g_rows=gK)
         # one pair kernel over all K slots' midpoints, kept in
         # [W, K, m, ...] form end to end (the slot-k midpoint beads
         # k*L + d2 + j*delta factor through a [K, L] reshape into one
@@ -551,7 +580,11 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
                                      ip_rows, ib_mid, need_wf=False,
                                      need_f2=(ilev == level))
         dS = jnp.sum(rows, axis=-1)                               # [W, K]
-        alive = alive & metropolis(jax.random.fold_in(keys[-1], ilev), dS)
+        if rand is not None:
+            alive = alive & metropolis_u(uK[:, :, ilev], dS)
+        else:
+            alive = alive & metropolis(
+                jax.random.fold_in(keys[-1], ilev), dS)
         seg = _strided_set(seg, xnew, 2, d2, delta, L)
 
     seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)

@@ -486,9 +486,22 @@ class Sweeper:
                         self._mk_t(k_step, 20, it), paths, ip, active,
                         self.Nlev)
                 else:
+                    rand2 = None
+                    if self.batch_rand and W <= 512:
+                        # batched randoms for the two-window composite
+                        # (see stag_body; latency lever, W <= 512 only)
+                        kk = self._mk_t(k_step, 28, it)
+                        Lw = 2 ** self.Nlev
+                        g2 = jax.random.normal(
+                            jax.random.fold_in(kk, 0),
+                            (W, 2, Lw, cfg.dim), paths.dtype)
+                        u2 = jax.random.uniform(
+                            jax.random.fold_in(kk, 1),
+                            (W, 2, self.Nlev + 1), paths.dtype)
+                        rand2 = (None, g2, u2)
                     out = self.v_fused_ends(
                         self._mk_t(k_step, 20, it), paths, ip, active,
-                        self.Nlev, fodd=fodd)
+                        self.Nlev, fodd=fodd, rand=rand2)
                 if use_fcache:
                     paths, fodd, acc_h, acc_t = out
                 else:
@@ -515,10 +528,22 @@ class Sweeper:
                 ips = [(it * K + k + off) % Np for k in range(K)]
                 act = jnp.stack(
                     [~isopen | (iworm != p) for p in ips], axis=1)
+                randK = None
+                if self.batch_rand and W <= 512 and not cfg.cascade:
+                    Lw = 2 ** self.Nlev
+                    gK = jax.random.normal(
+                        jax.random.fold_in(kk, 2),
+                        (W, K, Lw, cfg.dim), paths.dtype)
+                    uK = jax.random.uniform(
+                        jax.random.fold_in(kk, 3),
+                        (W, K, self.Nlev + 1), paths.dtype)
+                    us = jax.random.uniform(jax.random.fold_in(kk, 4), (),
+                                            paths.dtype)
+                    randK = (us, gK, uK)
                 if use_fcache:
                     paths, fodd, acc = self.v_bis_multi(
                         jax.random.fold_in(kk, 1), paths, ips, act,
-                        self.Nlev, fodd=fodd)
+                        self.Nlev, fodd=fodd, rand=randK)
                 elif cfg.cascade:
                     from .ops.cascade_kernels import interior_cascade
                     paths, acc = interior_cascade(
@@ -527,7 +552,7 @@ class Sweeper:
                 else:
                     paths, acc = self.v_bis_multi(
                         jax.random.fold_in(kk, 1), paths, ips, act,
-                        self.Nlev)
+                        self.Nlev, rand=randK)
                 ctr = ctr.at[_CIDX["try_int"]].add(_i32sum(act))
                 ctr = ctr.at[_CIDX["acc_bd"]].add(_i32sum(acc))
                 return paths, fodd, ctr

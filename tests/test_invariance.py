@@ -287,3 +287,51 @@ def test_end_bisection_rand_path_invariance(setup):
         system, tables, k, p, 0, ACTIVE, 2, rand=_mk_rand(k, 2))
     x = _iterate(fn, paths0, jax.random.key(206))
     _check_invariant(x, Sigma, beads=[2 * NB, 2 * NB - 1, 2 * NB - 3])
+
+
+def test_fused_end_bisections_rand_path_invariance(setup):
+    """Composite head+tail bisection on the batched-randoms path (the
+    automatic W <= 512 latency lever for fused_sweep users)."""
+    system, tables, paths0, Sigma = setup
+
+    def mk2(key):
+        g = jax.random.normal(jax.random.fold_in(key, 0), (W, 2, 4, 1),
+                              jnp.float64)
+        u = jax.random.uniform(jax.random.fold_in(key, 1), (W, 2, 3),
+                               jnp.float64)
+        return (None, g, u)
+
+    fn = lambda k, p: bis.fused_end_bisections(
+        system, tables, k, p, 0, ACTIVE, 2, rand=mk2(k))[:2]
+    x = _iterate(fn, paths0, jax.random.key(208))
+    _check_invariant(x, Sigma, beads=[0, 2, NB, 2 * NB - 2, 2 * NB])
+
+
+def test_bisection_multi_rand_path_invariance():
+    cfg = _cfg(Np=3, jastrow="none")
+    system = make_system(cfg)
+    tables = make_tables(system)
+    M = system.M
+    x = np.stack([_exact_samples(M, DT, W, seed=sd) for sd in (81, 82, 83)],
+                 axis=2)
+    paths0 = jnp.asarray(x)[:, :, :, None]
+    Sigma = np.linalg.inv(_precision_matrix(M, DT))
+
+    def mkK(key):
+        g = jax.random.normal(jax.random.fold_in(key, 0), (W, 3, 4, 1),
+                              jnp.float64)
+        u = jax.random.uniform(jax.random.fold_in(key, 1), (W, 3, 3),
+                               jnp.float64)
+        s = jax.random.uniform(jax.random.fold_in(key, 2), (), jnp.float64)
+        return (s, g, u)
+
+    def body(paths, k):
+        paths, _ = bis.bisection_multi(system, tables, k, paths, [0, 1, 2],
+                                       ACTIVE, 2, rand=mkK(k))
+        return paths, None
+
+    keys = jax.random.split(jax.random.key(209), NITER)
+    run = jax.jit(lambda p: jax.lax.scan(body, p, keys)[0])
+    x_fin = np.asarray(run(paths0))[:, :, :, 0]
+    for n in range(3):
+        _check_invariant(x_fin[:, :, n], Sigma, beads=[2, NB, 2 * NB - 2])
