@@ -140,6 +140,18 @@ class Driver:
                                      st, cfg.Nstep))
 
         ckpt = os.path.join(out_dir, "checkpoint.npz")
+        if cfg.resume and jax.process_count() > 1 \
+                and not os.path.exists(ckpt):
+            # only process 0 writes checkpoints; a resume therefore needs
+            # the file on storage visible to EVERY process.  Falling back
+            # to init_state here would silently mix resumed and fresh
+            # shards into one global ensemble (shard_state assumes every
+            # process holds the identical global state).
+            raise RuntimeError(
+                f"resume=True but {ckpt} is not visible on process "
+                f"{jax.process_index()}: multi-host resume requires the "
+                "checkpoint on shared storage reachable from every host "
+                "(docs/MULTIHOST.md)")
         if cfg.resume and os.path.exists(ckpt):
             self.state, self.acc = self.load_checkpoint(ckpt)
         else:

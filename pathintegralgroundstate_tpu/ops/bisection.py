@@ -39,9 +39,9 @@ import numpy as np
 from jax import lax
 
 from ..system import System, Tables
-from .moves import _codd_window, _codd_window_rev, _mi, _window_start, \
-    _wrap_pos, get_chain, metropolis, metropolis_u, set_chain, \
-    _slice_beads, _update_beads
+from .moves import _cache_win_write, _codd_window, _codd_window_rev, \
+    _mi, _window_start, _wrap_pos, get_chain, metropolis, metropolis_u, \
+    set_chain, _slice_beads, _update_beads
 from .pairwise import delta_action, delta_action_rows
 
 
@@ -101,16 +101,6 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int,
     xnext = xold - _mi(system, xold - xn)
     xnew = _wrap_pos(system, 0.5 * (xprev + xnext) + sigma * g)
     return d2, delta, m, xold, xnew
-
-
-def _cache_write_k(fodd, f_new, k0):
-    """Write cache rows back at cache-row offset k0 (scalar: one DUS;
-    per-walker: batched scatter)."""
-    if jnp.ndim(k0) == 0:
-        return lax.dynamic_update_slice_in_dim(fodd, f_new, k0, axis=1)
-    W = fodd.shape[0]
-    idx = k0[:, None] + jnp.arange(f_new.shape[1])
-    return fodd.at[jnp.arange(W)[:, None], idx].set(f_new)
 
 
 def bisection(system: System, tables: Tables, key, paths, ip, active,
@@ -195,8 +185,7 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
         chain = _update_beads(chain, ii, seg_fin)
         paths = set_chain(paths, ip, chain)
     if fodd is not None:
-        f_new = f_seg + jnp.where(alive[:, None, None, None], dfield, 0.0)
-        fodd = _cache_write_k(fodd, f_new, k0)
+        fodd = _cache_win_write(fodd, f_seg, dfield, alive, k0)
         return paths, fodd, alive
     return paths, alive
 
@@ -306,9 +295,8 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
             paths, seg_fin[:, :, None, :].astype(paths.dtype),
             (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
     if fodd is not None:
-        f_new = f_seg + jnp.where(alive[:, None, None, None], dfield, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1] if tail else f_new, k_lo, axis=1)
+        fodd = _cache_win_write(fodd, f_seg, dfield, alive, k_lo,
+                                reverse=tail)
         return paths, fodd, alive
     return paths, alive
 
@@ -480,13 +468,10 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         paths, seg_fin[:, 1, ::-1][:, :, None, :].astype(paths.dtype),
         (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
     if fodd is not None:
-        gh = alive[:, 0][:, None, None, None]
-        gt = alive[:, 1][:, None, None, None]
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_head + jnp.where(gh, dfield[:, 0], 0.0), k_h, axis=1)
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, (f_tail + jnp.where(gt, dfield[:, 1], 0.0))[:, ::-1],
-            k_t, axis=1)
+        fodd = _cache_win_write(fodd, f_head, dfield[:, 0], alive[:, 0],
+                                k_h)
+        fodd = _cache_win_write(fodd, f_tail, dfield[:, 1], alive[:, 1],
+                                k_t, reverse=True)
         return paths, fodd, alive[:, 0], alive[:, 1]
     return paths, alive[:, 0], alive[:, 1]
 

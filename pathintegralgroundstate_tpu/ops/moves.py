@@ -486,12 +486,17 @@ def _codd_window_rev(codd, hi: int, par: int, B: int):
     return _slice_beads(codd, k_lo, mo)[:, ::-1], (r0, 2), k_lo
 
 
-def _cache_win_write(codd, f_seg, dfield, acc, k0):
+def _cache_win_write(codd, f_seg, dfield, acc, k0, reverse=False):
     """Cache write-back: add the acc-gated odd-row increments to the hoisted
     cache rows and write them back at cache row k0 (scalar: one DUS;
     per-walker k0: batched scatter — mirrors the paths write-back forms).
-    dfield rows align with f_seg rows."""
+    dfield rows align with f_seg rows; reverse=True un-reverses a
+    reversed-orientation window before writing (tail-type moves).
+    THE one cache write-back helper — every move-side variant routes here
+    (bisection.py included)."""
     f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
+    if reverse:
+        f_new = f_new[:, ::-1]
     if jnp.ndim(k0) == 0:
         return jax.lax.dynamic_update_slice_in_dim(codd, f_new, k0, axis=1)
     W = codd.shape[0]
@@ -673,9 +678,7 @@ def move_tail(system: System, tables: Tables, key, paths, ip, active,
     seg_fin = seg_fin0[:, ::-1]
     paths = _win_write(paths, M - 1 - Lmax, R_seg[:, ::-1], ip, seg_fin)
     if fodd is not None:
-        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1], k_lo, axis=1)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k_lo, reverse=True)
         return paths, fodd, acc
     return paths, acc
 
@@ -730,13 +733,9 @@ def fused_end_stagings(system: System, tables: Tables, key, paths, ip,
     chain = chain.at[:, M - 1 - Lmax:].set(seg_fin[W:, ::-1])
     paths = set_chain(paths, ip, chain)
     if fodd is not None:
-        mh = (acc2[:W])[:, None, None, None]
-        mt = (acc2[W:])[:, None, None, None]
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_head + jnp.where(mh, dfield[:W], 0.0), k_h, axis=1)
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, (f_tail + jnp.where(mt, dfield[W:], 0.0))[:, ::-1],
-            k_t, axis=1)
+        fodd = _cache_win_write(fodd, f_head, dfield[:W], acc2[:W], k_h)
+        fodd = _cache_win_write(fodd, f_tail, dfield[W:], acc2[W:], k_t,
+                                reverse=True)
         return paths, fodd, acc2[:W], acc2[W:]
     return paths, acc2[:W], acc2[W:]
 
@@ -817,8 +816,6 @@ def move_tail_half_chain(system: System, tables: Tables, key, paths, xend,
         xend = xend.at[:, half - 1].set(
             jnp.where(active[:, None], seg_fin[:, 0], xend[:, half - 1]))
     if fodd is not None:
-        f_new = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(
-            fodd, f_new[:, ::-1], k_lo, axis=1)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k_lo, reverse=True)
         return paths, xend, fodd, acc
     return paths, xend, acc

@@ -413,11 +413,28 @@ def delta_action_rows(system: System, tables: Tables, R, xnew, xold, ip, ib,
     forces = need_f2 or with_pair_forces
 
     if not with_pair_forces and not cfg.exact_f2 and cfg.pallas_rows \
-            and jnp.ndim(R) == 4 and not cfg.trap:
+            and jnp.ndim(R) in (4, 5) and not cfg.trap:
+        # 5-D callers (the concat-free fused composites, [W, S, m, N, D])
+        # flatten their leading batch axes for the walker-tiled kernel —
+        # per-walker rows are independent, so the flatten is value-exact
+        R4 = R.reshape((-1,) + R.shape[-3:]) if jnp.ndim(R) == 5 else R
         from .pallas_kernels import pallas_rows_ok, pair_rows_pallas
-        if pallas_rows_ok(system, R):
-            dpot, df2, du = pair_rows_pallas(system, R, xnew, xold, ip,
-                                             need_wf)
+        if pallas_rows_ok(system, R4):
+            if jnp.ndim(R) == 5:
+                W_, S_, m_ = R.shape[0], R.shape[1], R.shape[2]
+                xn4 = xnew.reshape(W_ * S_, m_, -1)
+                xo4 = xold.reshape(W_ * S_, m_, -1)
+                ip4 = ip
+                if jnp.ndim(jnp.asarray(ip)) == 3:  # per-row [W, S, m]
+                    ip4 = jnp.asarray(ip).reshape(W_ * S_, m_)
+                dpot, df2, du = pair_rows_pallas(system, R4, xn4, xo4, ip4,
+                                                 need_wf)
+                dpot = dpot.reshape(W_, S_, m_)
+                df2 = df2.reshape(W_, S_, m_)
+                du = du.reshape(W_, S_, m_) if need_wf else du
+            else:
+                dpot, df2, du = pair_rows_pallas(system, R, xnew, xold, ip,
+                                                 need_wf)
             dS = (wv * dpot + wf * df2).astype(dtype)
             if need_wf:
                 dS = dS - (wpsi * du).astype(dtype)

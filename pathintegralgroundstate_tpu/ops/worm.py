@@ -16,8 +16,8 @@ from jax import lax
 
 from ..system import System, Tables
 from ..utils.pbc import minimum_image
-from .moves import _codd_window, _codd_window_rev, _slice_beads, get_chain, \
-    metropolis, segment_regrow, set_chain
+from .moves import _cache_win_write, _codd_window, _codd_window_rev, \
+    _slice_beads, get_chain, metropolis, segment_regrow, set_chain
 from .pairwise import delta_action
 
 
@@ -304,9 +304,8 @@ def swap_move(system: System, tables: Tables, key, paths, xend, iw,
     if fodd is not None:
         # (a) regrow increments at the odd beads of [Nb-Lb, Nb] (the pin
         # row has zero increment, so a shared central row is harmless)
-        fR = f_seg + jnp.where(acc[:, None, None, None], dfield, 0.0)
-        fodd = lax.dynamic_update_slice_in_dim(fodd, fR[:, ::-1], k_lo,
-                                               axis=1)
+        fodd = _cache_win_write(fodd, f_seg, dfield, acc, k_lo,
+                                reverse=True)
         # (b) label swap of the iw/ik force columns at the odd beads of
         # [Nb, 2Nb] (cache rows k_sw..Nb-1; positions at those beads are
         # the same SET after the tail exchange, so only the two particles'

@@ -65,6 +65,11 @@ COUNTER_NAMES = (
 )
 _CIDX = {n: i for i, n in enumerate(COUNTER_NAMES)}
 
+# batched-randoms engage threshold: the lever is pure LATENCY, measured a
+# win only up to the best-W regime (97 -> 83 ms/step at W=512; a LOSS at
+# W >= 1024 where the pre-drawn blocks materialize through HBM)
+BATCH_RAND_MAX_W = 512
+
 
 def zero_stats(system: System) -> StepStats:
     cfg = system.cfg
@@ -267,6 +272,8 @@ class Sweeper:
 
         key, k_step = jax.random.split(state.key)
         state = state._replace(key=key, step=state.step + 1)
+        # one gate for every batched-randoms site below (W is static here)
+        use_rand = self.batch_rand and W <= BATCH_RAND_MAX_W
 
         paths, xend = state.paths, state.xend
         isopen, iworm = state.isopen, state.iworm
@@ -387,23 +394,25 @@ class Sweeper:
             kh = self._mk_t(k_step, 20, it)
             kt = self._mk_t(k_step, 21, it)
             kb = self._mk_t(k_step, 22, it)
-            if self.use_bisection and self.batch_rand and W <= 512:
-                Lw = 2 ** self.Nlev
+            if self.use_bisection and use_rand:
                 dtp = paths.dtype
 
-                def draw(tag, start=False):
+                def draw(tag, nlev, start=False):
                     kk = self._mk_t(k_step, tag, it)
                     g = jax.random.normal(jax.random.fold_in(kk, 0),
-                                          (W, Lw, cfg.dim), dtp)
+                                          (W, 2 ** nlev, cfg.dim), dtp)
                     u = jax.random.uniform(jax.random.fold_in(kk, 1),
-                                           (W, self.Nlev + 1), dtp)
+                                           (W, nlev + 1), dtp)
                     s = jax.random.uniform(jax.random.fold_in(kk, 2),
                                            (), dtp) if start else None
                     return (s, g, u)
 
-                r_h = draw(25)
-                r_t = draw(26)
-                r_b = draw(27, start=True)
+                # the end moves clamp their depth to max(Nlev, 2)
+                # (ops/bisection._end_bisection) — size their blocks likewise
+                nl_end = max(self.Nlev, 2)
+                r_h = draw(25, nl_end)
+                r_t = draw(26, nl_end)
+                r_b = draw(27, self.Nlev, start=True)
                 if use_fcache:
                     paths, fodd, acc_h = self.v_head_bis(
                         kh, paths, ip, active, self.Nlev, fodd=fodd,
@@ -487,7 +496,7 @@ class Sweeper:
                         self.Nlev)
                 else:
                     rand2 = None
-                    if self.batch_rand and W <= 512:
+                    if use_rand:
                         # batched randoms for the two-window composite
                         # (see stag_body; latency lever, W <= 512 only)
                         kk = self._mk_t(k_step, 28, it)
@@ -529,7 +538,7 @@ class Sweeper:
                 act = jnp.stack(
                     [~isopen | (iworm != p) for p in ips], axis=1)
                 randK = None
-                if self.batch_rand and W <= 512 and not cfg.cascade:
+                if use_rand and not cfg.cascade:
                     Lw = 2 ** self.Nlev
                     gK = jax.random.normal(
                         jax.random.fold_in(kk, 2),

@@ -178,3 +178,29 @@ def test_bridge_regrow_matches_scan():
     for a, b in zip(outs["bridge"], outs["scan"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_nlev1_unfused_bisection_runs():
+    """Regression (round-4 review): the batched-randoms blocks must be
+    sized for the END moves' clamped depth max(Nlev, 2) — Nlev=1 (the
+    config default) crashed at trace time when the blocks were sized by
+    Nlev alone."""
+    import jax
+
+    from pathintegralgroundstate_tpu.config import SimConfig
+    from pathintegralgroundstate_tpu.state import init_state
+    from pathintegralgroundstate_tpu.sweep import Sweeper, run_block
+    from pathintegralgroundstate_tpu.system import make_system, make_tables
+
+    cfg = SimConfig(dim=3, Np=4, density=0.3, dt=5e-3, Nb=4,
+                    sampling="bis", Nlev=1, Nstag=1, CMFreq=1,
+                    delta_cm=0.1, Rm=1.2, n_walkers=8, dtype="float64",
+                    potential="aziz2", fused_sweep=False, seed=3)
+    system = make_system(cfg)
+    tables = make_tables(system)
+    sweeper = Sweeper(system, tables)
+    state = init_state(system)
+    state, stats = jax.jit(
+        lambda s: run_block(system, tables, sweeper, s, 2))(state)
+    c = np.asarray(stats.counters)
+    assert c[0] > 0  # CM tries happened; the step compiled and ran
