@@ -51,6 +51,20 @@ def main(argv=None):
     ap.add_argument("--burnin", type=int, default=0,
                     help="equilibration blocks discarded from global averages")
     args = ap.parse_args(argv)
+    # honor JAX_PLATFORMS even when the interpreter's sitecustomize
+    # re-exports its own value after the user's (observed in the managed
+    # TPU image: `JAX_PLATFORMS=cpu python -m ...` silently ran on the
+    # TPU).  jax.config wins over the env var as long as no backend has
+    # been touched yet.
+    import os as _os
+    want = _os.environ.get("PIGS_PLATFORM") or _os.environ.get(
+        "JAX_PLATFORMS")
+    if want:
+        import jax
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backend already initialized; leave as-is
     enable_compilation_cache()
 
     overrides = dict(_parse_override(kv) for kv in args.set)

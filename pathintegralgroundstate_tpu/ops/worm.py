@@ -342,14 +342,17 @@ def obdm_terms(system: System, xend):
     valid = rij2 <= geo.rcut2
     rij = jnp.sqrt(jnp.maximum(rij2, 1e-30))
     ibin = jnp.clip((rij / geo.rbin).astype(jnp.int32), 0, cfg.Nbin - 1)
-    # partial waves from the (x, y) angle (2-D convention, sample_mod.f90:505)
+    # partial waves from the (x, y) angle (2-D convention,
+    # sample_mod.f90:505): cos(2 m theta), computed as a real cosine table
+    # rather than complex powers — Re[(e^{i theta})^{2m}] needs an
+    # int->complex convert that the TPU x64 path cannot lower (a real f64
+    # worm run crashed on it), and the trig form is the reference's own
+    # expression anyway
     if cfg.dim >= 2:
-        ct = xij[:, 0] / rij
-        st = xij[:, 1] / rij
+        theta = jnp.arctan2(xij[:, 1], xij[:, 0])
     else:
-        ct = jnp.sign(xij[:, 0])
-        st = jnp.zeros_like(ct)
-    e2 = jax.lax.complex(ct, st) ** 2
-    m = jnp.arange(cfg.Npw + 1)
-    w = jnp.real(e2[:, None] ** m[None, :])
+        # 1-D: the old complex form gave sign(x)^2m == 1 for every wave
+        theta = jnp.where(xij[:, 0] >= 0, 0.0, jnp.pi).astype(rij.dtype)
+    m = jnp.arange(cfg.Npw + 1, dtype=rij.dtype)
+    w = jnp.cos(2.0 * theta[:, None] * m[None, :])
     return ibin, w, valid
