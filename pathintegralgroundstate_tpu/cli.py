@@ -55,7 +55,11 @@ def main(argv=None):
     # re-exports its own value after the user's (observed in the managed
     # TPU image: `JAX_PLATFORMS=cpu python -m ...` silently ran on the
     # TPU).  jax.config wins over the env var as long as no backend has
-    # been touched yet.
+    # been touched yet.  CAVEAT: on a managed image whose sitecustomize
+    # OVERWRITES os.environ['JAX_PLATFORMS'] itself, re-reading it here
+    # would apply the sitecustomize's value, not the user's — PIGS_PLATFORM
+    # is the authoritative override for such images (nothing else writes
+    # it), which is why it is consulted first.
     import os as _os
     want = _os.environ.get("PIGS_PLATFORM") or _os.environ.get(
         "JAX_PLATFORMS")

@@ -250,7 +250,8 @@ class Driver:
         acc["iblock"] += 1
         ib = acc["iblock"]
 
-        nd = float(stats.n_diag)
+        nd = float(stats.n_diag)           # measured diagonal walker-steps
+        nd_all = float(stats.n_diag_all)   # ALL diagonal walker-steps
         blk = {}
         if nd > 0:
             for nm in ("E", "K", "V", "Et", "Kt", "Vt"):
@@ -297,7 +298,10 @@ class Driver:
         # vpi.f90:400-401), the trapped worm sector measures too.
         if cfg.CWorm > 0.0:
             acc["nrho_carry"] = acc["nrho_carry"] + np.asarray(stats.nrho)
-            acc["idiag_aux"] += nd
+            # denominator counts EVERY diagonal walker-step, matching the
+            # per-step nrho accumulation — nd (measured steps only) would
+            # inflate n(r) by the measure_every stride (VERDICT r4 weak #4)
+            acc["idiag_aux"] += nd_all
             if acc["idiag_aux"] / (cfg.Nstep * cfg.n_walkers) >= 1.0:
                 acc["obdm_bl"] += 1
                 nid = shell_norm(cfg.dim, self.system.geo.density,
@@ -317,8 +321,8 @@ class Driver:
         W = cfg.n_walkers
         nsteps_tot = cfg.Nstep * W
         rec = dict(block=ib, time_s=dt_block, n_diag=nd,
-                   diag_frac=nd / nsteps_tot, **{k: v / cfg.Np for k, v in
-                                                 blk.items()}, **c)
+                   diag_frac=nd_all / nsteps_tot,
+                   **{k: v / cfg.Np for k, v in blk.items()}, **c)
         # throughput: bead updates attempted per second (one definition
         # repo-wide — sweep.bead_updates_per_step, also used by bench.py)
         rec["bead_updates"] = cfg.Nstep * W * bead_updates_per_step(cfg)
@@ -328,7 +332,7 @@ class Driver:
             fjl.flush()
 
         if self.verbose:
-            self._print_block(ib, blk, c, nd, nsteps_tot, dt_block)
+            self._print_block(ib, blk, c, nd_all, nsteps_tot, dt_block)
 
         # acceptance-collapse alarm (debug subsystem, SURVEY.md §5): a dead
         # move class signals a broken action/step size (cf. the r1

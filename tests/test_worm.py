@@ -293,3 +293,35 @@ def test_ideal_gas_sector_ratio_exact(tmp_path):
     expect = 1.0 / (1.0 + cfg.CWorm * cfg.density * V)
     got = float(np.mean(fracs))
     assert abs(got - expect) < 0.05, (got, expect)
+
+
+def test_obdm_invariant_to_measure_every(tmp_path):
+    """measure_every must not change the NORMALIZED OBDM (VERDICT r4 weak
+    #4): nrho accumulates every step (the worm phase always runs), so its
+    denominator must count every diagonal walker-step too — idiag_aux fed
+    by the measured-steps-only n_diag inflated n(r) by the stride and
+    quadrupled the super-block flush cadence.  The trajectory is identical
+    under either stride (measurement consumes no RNG), so the normalized
+    output must match exactly."""
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    base = SimConfig(dim=3, Np=4, density=0.3, dt=0.05, Nb=4, sampling="sta",
+                     Lstag=4, Nstag=1, CMFreq=1, delta_cm=0.4, Rm=1.2,
+                     swapping=False, CWorm=0.5, Nobdm=2, Npw=0, Nbin=10,
+                     n_walkers=32, dtype="float64", potential="none",
+                     jastrow="none", seed=11, Nstep=8, Nblock=4)
+    res = {}
+    for me in (1, 4):
+        out = tmp_path / f"me{me}"
+        drv = Driver(base.replace(measure_every=me), out_dir=str(out),
+                     verbose=False)
+        acc = drv.run()
+        import json
+        fracs = [json.loads(ln)["diag_frac"]
+                 for ln in open(str(out / "metrics.jsonl"))]
+        res[me] = (acc["AvNr"].copy(), acc["obdm_bl"], fracs,
+                   np.loadtxt(str(out / "nr_vpi.out")))
+    np.testing.assert_allclose(res[1][0], res[4][0], rtol=1e-12)
+    assert res[1][1] == res[4][1]  # same super-block flush cadence
+    np.testing.assert_allclose(res[1][2], res[4][2], rtol=1e-12)
+    np.testing.assert_allclose(res[1][3], res[4][3], rtol=1e-12)
