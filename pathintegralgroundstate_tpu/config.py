@@ -161,6 +161,16 @@ class SimConfig:
                                  # False: per-walker offsets.
     bis_end_random_depth: bool = False  # reference-style random end-bisection
                                         # depths (compiles one body per depth)
+    bis_monoshot: bool = True    # one-dispatch bisection moves: the level
+                                 # chain's construction is deterministic
+                                 # given the draws and the accepts
+                                 # factorize, so ALL levels' pair deltas
+                                 # evaluate in ONE fused kernel per move
+                                 # instead of one per level (ops/bisection
+                                 # monoshot note; ~nlev+1 -> 1 sequential
+                                 # pair kernels per move).  False = the
+                                 # per-level dispatch form (identical
+                                 # kernel semantics, for comparison)
     cascade: bool = False        # experimental whole-move Pallas cascade
                                  # kernels (ops/cascade_kernels): the full
                                  # bisection cascade in ONE kernel.  Kept
@@ -375,12 +385,9 @@ def echo_namelists(cfg: SimConfig, write=print) -> None:
     """Echo every configuration group in Fortran namelist-output style,
     making run provenance self-contained in the console log exactly like
     the reference's `write (*,nml=...)` (vpi_mod.f90:64-75)."""
-    skip = {"jastrow"}  # cfg.jastrow is the TPU family key; Rm is the knob
     for group, keys in _NML_GROUPS:
         write(f"&{group.upper()}")
         for k in keys:
-            if group != "tpu" and k in skip:
-                continue
             v = getattr(cfg, k)
             write(f" {k.upper()}={_nml_repr(v)},")
         write(" /")

@@ -33,6 +33,8 @@ traffic, bitwise-identical dS (their F^2 weight is exactly zero).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +105,203 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int,
     return d2, delta, m, xold, xnew
 
 
+# ---------------------------------------------------------------------------
+# Monoshot level evaluation (round 5, VERDICT r4 task 1: fuse the move)
+#
+# The per-level Metropolis chain does NOT gate the hierarchy construction in
+# this engine — a rejected level only marks the walker dead, the remaining
+# levels still build (masked) proposals, and the single final writeback
+# restores seg0 for dead walkers.  The construction is therefore a
+# DETERMINISTIC function of (seg0, gaussians), every displaced row's Delta-S
+# involves only that row's own (old, new) pair against the frozen partners,
+# and the accept chain factorizes:
+#
+#     alive = active AND_k [ u_k < exp(-sum_{rows r of level k} dS_r) ]
+#
+# So the whole multilevel move collapses to: (1) build the full proposed
+# window with a cheap elementwise level loop (no pair kernels), (2) evaluate
+# ALL rows' dS in ONE fused pair kernel over the window, (3) segment-sum the
+# rows by level (a tiny static matmul) and reduce the accepts.  This cuts a
+# move's sequential pair-kernel chain from nlev(+1) dispatches to ONE —
+# the per-move glue the round-4 phase accounting measured at ~3x over the
+# window-traffic roofline (docs/VALIDATION.md).  Same draws, same row
+# values, same accept semantics as the per-level rand path — regression-
+# pinned in tests/test_sampler.py::test_monoshot_matches_per_level.
+# ---------------------------------------------------------------------------
+
+
+def _construct_levels(system: System, seg, level: int, L: int, g_rows):
+    """Deterministic all-level bisection construction: level ilev's
+    midpoints from the current seg anchors + its own gaussian rows (g_rows
+    indexed by window position, exactly as _level_proposal's rand path).
+    Works at any batch rank (window axis is -2)."""
+    ax = seg.ndim - 2
+    for ilev in range(1, level + 1):
+        d2, delta, m, _, xnew = _level_proposal(system, None, seg, ilev,
+                                                level, g_rows=g_rows)
+        seg = _strided_set(seg, xnew, ax, d2, delta, L)
+    return seg
+
+
+def _pos_level(p: int, level: int) -> int:
+    """Bisection level (1-based) that displaces window position p."""
+    for ilev in range(1, level + 1):
+        delta = 2 ** (level - ilev + 1)
+        if p % delta == delta // 2:
+            return ilev
+    raise ValueError(p)
+
+
+@functools.lru_cache(maxsize=None)
+def _level_assign(level: int, gate: bool):
+    """Static [nrows, ngroups] 0/1 matrix mapping displaced window rows to
+    their accept group: interior moves group rows 1..L-1 into `level`
+    groups; end moves (gate=True) group rows 0..L-1 into 1 + level groups
+    with the terminal-bead gate as group 0."""
+    L = 2 ** level
+    if gate:
+        A = np.zeros((L, level + 1))
+        A[0, 0] = 1.0
+        for p in range(1, L):
+            A[p, _pos_level(p, level)] = 1.0
+    else:
+        A = np.zeros((L - 1, level))
+        for p in range(1, L):
+            A[p - 1, _pos_level(p, level) - 1] = 1.0
+    return A
+
+
+def _monoshot_accept(active, rows, u_acc, level: int, gate: bool):
+    """Per-level accept chain from the one-kernel row dS values."""
+    A = jnp.asarray(_level_assign(level, gate), rows.dtype)
+    dS_grp = rows @ A                       # [..., ngroups]
+    return active & jnp.all(metropolis_u(u_acc, dS_grp), axis=-1)
+
+
+def _draw_monoshot(key, W: int, L: int, ngrp: int, dim: int, dtype,
+                   start_shape=None):
+    """(u_start, g_rows [W, L, D], u_acc [W, ngrp]) — the same block shapes
+    the batched-randoms path pre-draws (sweep.py draw()).  start_shape:
+    None = no window draw; () = shared window; (W,) = per-walker windows."""
+    ks = jax.random.split(key, 3)
+    g = jax.random.normal(ks[0], (W, L, dim), dtype)
+    u = jax.random.uniform(ks[1], (W, ngrp), dtype)
+    s = (jax.random.uniform(ks[2], start_shape, dtype)
+         if start_shape is not None else None)
+    return s, g, u
+
+
+def _bisection_monoshot(system: System, tables: Tables, key, paths, ip,
+                        active, level: int, fodd=None, rand=None):
+    """Interior bisection, one pair kernel for all levels (module note)."""
+    M = system.M
+    W = paths.shape[0]
+    L = 2 ** level
+    n_opts = (M - 1 - L) // 2 + 1
+    if rand is None:
+        rand = _draw_monoshot(
+            key, W, L, level + 1, system.cfg.dim, paths.dtype,
+            start_shape=() if system.cfg.shared_windows else (W,))
+    u_start, g_rows, u_acc = rand
+    ii = 2 * jnp.floor(u_start * n_opts).astype(jnp.int32)
+    R_seg = _slice_beads(paths, ii, L + 1)
+    seg0 = R_seg[:, :, ip, :]
+    ib_seg = jnp.broadcast_to(
+        jnp.expand_dims(ii, -1) + jnp.arange(L + 1), (W, L + 1))
+
+    seg = _construct_levels(system, seg0, level, L, g_rows)
+    xnew_rows, xold_rows = seg[:, 1:L], seg0[:, 1:L]
+    dfield = None
+    if fodd is not None:
+        f_seg, _, k0 = _codd_window(fodd, ii, 0, L)
+        rows, dfield = delta_action_rows(
+            system, tables, R_seg[:, 1:L], xnew_rows, xold_rows, ip,
+            ib_seg[:, 1:L], fold=f_seg, fold_sub=(0, 2), need_wf=False)
+    else:
+        rows = delta_action_rows(
+            system, tables, R_seg[:, 1:L], xnew_rows, xold_rows, ip,
+            ib_seg[:, 1:L], need_wf=False)
+    alive = _monoshot_accept(active, rows, u_acc[:, 1:], level, gate=False)
+
+    seg_fin = jnp.where(alive[:, None, None], seg, seg0)
+    if jnp.ndim(ii) == 0:
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), ii, jnp.asarray(ip, jnp.int32), jnp.int32(0)))
+    else:
+        chain = get_chain(paths, ip)
+        chain = _update_beads(chain, ii, seg_fin)
+        paths = set_chain(paths, ip, chain)
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, alive, k0)
+        return paths, fodd, alive
+    return paths, alive
+
+
+def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
+                            active, nlev: int, tail: bool, fodd=None,
+                            rand=None):
+    """End-segment bisection, one pair kernel for gate + all levels."""
+    cfg = system.cfg
+    M = system.M
+    dt = cfg.dt
+    W = paths.shape[0]
+    L = 2 ** nlev
+    if rand is None:
+        rand = _draw_monoshot(key, W, L, nlev + 1, cfg.dim, paths.dtype)
+    _, g_rows, u_acc = rand
+
+    if tail:
+        R_seg = paths[:, M - 1 - L:][:, ::-1]
+        ib_seg = jnp.broadcast_to(
+            jnp.arange(M - 1, M - 2 - L, -1), (W, L + 1))
+        if fodd is not None:
+            f_seg, _, k_lo = _codd_window_rev(fodd, M - 1, 0, L)
+    else:
+        R_seg = paths[:, : L + 1]
+        ib_seg = jnp.broadcast_to(jnp.arange(L + 1), (W, L + 1))
+        if fodd is not None:
+            f_seg, _, k_lo = _codd_window(fodd, 0, 0, L)
+    seg0 = R_seg[:, :, ip, :]
+    dtype = seg0.dtype
+
+    # free-gaussian terminal guess (vpi_mod.f90:1039-1076) consumes g row 0
+    xold0 = seg0[:, 0]
+    anchor = seg0[:, L]
+    xmid = xold0 - _mi(system, xold0 - anchor)
+    xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g_rows[:, 0])
+    seg = _construct_levels(system, seg0.at[:, 0].set(xnew0), nlev, L,
+                            g_rows)
+
+    xnew_rows, xold_rows = seg[:, :L], seg0[:, :L]
+    dfield = None
+    if fodd is not None:
+        rows, dfield = delta_action_rows(
+            system, tables, R_seg[:, :L], xnew_rows, xold_rows, ip,
+            ib_seg[:, :L], fold=f_seg, fold_sub=(1, 2))
+    else:
+        rows = delta_action_rows(
+            system, tables, R_seg[:, :L], xnew_rows, xold_rows, ip,
+            ib_seg[:, :L])
+    alive = _monoshot_accept(active, rows, u_acc, nlev, gate=True)
+
+    seg_fin = jnp.where(alive[:, None, None], seg, seg0)
+    ip_i = jnp.asarray(ip, jnp.int32)
+    if tail:
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, ::-1][:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
+    else:
+        paths = lax.dynamic_update_slice(
+            paths, seg_fin[:, :, None, :].astype(paths.dtype),
+            (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_seg, dfield, alive, k_lo,
+                                reverse=tail)
+        return paths, fodd, alive
+    return paths, alive
+
+
 def bisection(system: System, tables: Tables, key, paths, ip, active,
               level: int, fodd=None, rand=None):
     """Interior multilevel bisection over an even-aligned window of
@@ -119,6 +318,9 @@ def bisection(system: System, tables: Tables, key, paths, ip, active,
     rand (optional): pre-drawn randoms (u_start scalar, g [W, L, D],
     u_acc [W, level+1]) — the batched-randoms hot path (see
     moves.metropolis_u); requires shared windows.  `key` is unused then."""
+    if system.cfg.bis_monoshot:
+        return _bisection_monoshot(system, tables, key, paths, ip, active,
+                                   level, fodd=fodd, rand=rand)
     M = system.M
     W = paths.shape[0]
     seg_len = 2 ** level
@@ -202,6 +404,10 @@ def _end_bisection_fixed_depth(system: System, tables: Tables, key, paths,
     rand (optional): (None, g [W, L, D], u_acc [W, nlev+1]) pre-drawn
     randoms — the gate consumes g row 0 / u_acc column 0, level ilev its
     strided g rows / u_acc column ilev (rows partition exactly)."""
+    if system.cfg.bis_monoshot:
+        return _end_bisection_monoshot(system, tables, key, paths, ip,
+                                       active, nlev, tail, fodd=fodd,
+                                       rand=rand)
     cfg = system.cfg
     M = system.M
     dt = cfg.dt
@@ -416,8 +622,11 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
         dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
                                 ib_ends, need_f2=False)
     else:
+        # terminal beads 0 and M-1 are EVEN — zero Chin F^2 weight — so the
+        # end gate never needs the force reduction (matches the fodd branch
+        # and _end_bisection_fixed_depth; value-identical either way)
         dS0 = delta_action_rows(system, tables, R_ends, xnew0, xold0, ip,
-                                ib_ends, need_f2=(rand is None))
+                                ib_ends, need_f2=False)
     if rand is not None:
         alive = active[:, None] & metropolis_u(u2[:, :, 0], dS0)  # [W, 2]
     else:

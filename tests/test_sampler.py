@@ -204,3 +204,51 @@ def test_nlev1_unfused_bisection_runs():
         lambda s: run_block(system, tables, sweeper, s, 2))(state)
     c = np.asarray(stats.counters)
     assert c[0] > 0  # CM tries happened; the step compiled and ran
+
+
+def test_monoshot_matches_per_level():
+    """The one-dispatch monoshot bisection moves (cfg.bis_monoshot, VERDICT
+    r4 task 1) must reproduce the per-level dispatch form EXACTLY given the
+    same pre-drawn randoms: same hierarchy, same row Delta-S values, same
+    accept chain — the fusion is a scheduling change, not a kernel change."""
+    import jax.numpy as jnp
+
+    from pathintegralgroundstate_tpu.ops import bisection as bis
+    from pathintegralgroundstate_tpu.ops.pairwise import force_field
+
+    for exact_f2 in (False, True):
+        cfg = SimConfig(dim=3, Np=8, density=0.365, dt=5e-3, Nb=8,
+                        sampling="bis", Nlev=2, Nstag=1, n_walkers=16,
+                        dtype="float64", potential="aziz2", seed=5,
+                        exact_f2=exact_f2)
+        tables = make_tables(make_system(cfg))
+        st = init_state(make_system(cfg))
+        paths = st.paths
+        W, L = 16, 2 ** cfg.Nlev
+        key = jax.random.key(7)
+        active = jnp.ones((W,), bool)
+        fodd = force_field(make_system(cfg), tables, paths[:, 1::2]) \
+            if exact_f2 else None
+        g = jax.random.normal(jax.random.key(1), (W, L, 3), jnp.float64)
+        u = jax.random.uniform(jax.random.key(2), (W, cfg.Nlev + 1),
+                               jnp.float64)
+        us = jax.random.uniform(jax.random.key(3), (), jnp.float64)
+        cases = [
+            ("interior", bis.bisection, (us, g, u)),
+            ("head", bis.move_head_bisection, (None, g, u)),
+            ("tail", bis.move_tail_bisection, (None, g, u)),
+        ]
+        for name, fn, rand in cases:
+            outs = {}
+            for mono in (True, False):
+                s2 = make_system(cfg.replace(bis_monoshot=mono))
+                kw = dict(rand=rand)
+                if fodd is not None:
+                    kw["fodd"] = fodd
+                outs[mono] = fn(s2, tables, key, paths, 3, active, cfg.Nlev,
+                                **kw)
+            for x, y in zip(outs[True], outs[False]):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-14,
+                    err_msg=f"{name}/exact_f2={exact_f2}")
+            assert int(np.sum(np.asarray(outs[True][-1]))) > 0
