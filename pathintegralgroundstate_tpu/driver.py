@@ -39,6 +39,32 @@ def var(nitem, s, s2):
     return math.sqrt(max((s2 - s * s) / nitem, 0.0))
 
 
+def drift_z(x, min_n: int = 8) -> float:
+    """First-half vs second-half drift statistic of a block-mean series
+    (Geweke-style equilibration check, VERDICT r4 task 7):
+
+        z = (mean(second half) - mean(first half)) / sqrt(se1^2 + se2^2)
+
+    |z| >> 1 on a stationary chain is evidence the burn-in was too short
+    (the reference has no such check; its users discard blocks by hand).
+
+    The scale is the SECOND half's standard error (assumed stationary),
+    applied to both halves: a still-relaxing first half would otherwise
+    inflate the pooled variance with its own transient and mask the very
+    drift being tested (a 1e4-outlier first block yields z = 1.0 under the
+    naive pooled form).  Returns 0 while fewer than min_n blocks exist."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < min_n:
+        return 0.0
+    h = n // 2
+    a, b = x[:h], x[h:]
+    d2 = b.var(ddof=1) * (1.0 / len(a) + 1.0 / len(b))
+    if d2 <= 0.0:
+        return 0.0
+    return float((b.mean() - a.mean()) / math.sqrt(d2))
+
+
 def shell_norm(dim: int, density: float, rbin: float, nbin: int):
     """Ideal-gas shell weights nid[ibin] (NormalizeGr, sample_mod.f90:656-679)."""
     k_n = math.pi ** (0.5 * dim) / math.gamma(0.5 * dim + 1.0)
@@ -179,6 +205,10 @@ class Driver:
             AvDens=np.zeros((cfg.Nbin, cfg.Nbin)),
             AvDens2=np.zeros((cfg.Nbin, cfg.Nbin)),
             perm_hist=np.zeros(cfg.Np),
+            # equilibration monitor (drift_z): per-block E means and
+            # per-super-block OBDM weights
+            hist_E=np.zeros(0),
+            hist_n0=np.zeros(0),
         )
 
     def _write_tables(self):
@@ -313,8 +343,27 @@ class Driver:
                 acc["AvNr2"] += nrho * nrho
                 acc["idiag_aux"] = 0.0
                 acc["nrho_carry"] = np.zeros_like(acc["nrho_carry"])
+                # OBDM plateau monitor: total normalized m=0 weight per
+                # super-block (tracks the off-diagonal sector's relaxation)
+                acc["hist_n0"] = np.append(acc["hist_n0"],
+                                           float(np.sum(nrho[0])))
 
         acc["perm_hist"] += np.asarray(stats.perm_hist)
+
+        # ---- equilibration monitor (drift_z; VERDICT r4 task 7) ----
+        zE = zn0 = 0.0
+        if nd > 0:
+            acc["hist_E"] = np.append(acc["hist_E"], blk["AvE"] / cfg.Np)
+            zE = drift_z(acc["hist_E"])
+        if cfg.CWorm > 0.0:
+            zn0 = drift_z(acc["hist_n0"], min_n=6)
+        if self.is_main and (abs(zE) > 3.0 or abs(zn0) > 3.0):
+            what = "energy block means" if abs(zE) > 3.0 else "OBDM weight"
+            z = zE if abs(zE) > 3.0 else zn0
+            print(f"# WARNING: {what} drift z={z:+.1f} (first vs second "
+                  f"half of {len(acc['hist_E'])} blocks) — the chain looks "
+                  "non-stationary; burn-in was probably insufficient "
+                  "(re-run with --burnin or discard early blocks)")
 
         ctr = np.asarray(stats.counters, dtype=np.int64)
         c = {n: int(ctr[i]) for n, i in _CIDX.items()}
@@ -322,6 +371,7 @@ class Driver:
         nsteps_tot = cfg.Nstep * W
         rec = dict(block=ib, time_s=dt_block, n_diag=nd,
                    diag_frac=nd_all / nsteps_tot,
+                   drift_zE=round(zE, 3), drift_zn0=round(zn0, 3),
                    **{k: v / cfg.Np for k, v in blk.items()}, **c)
         # throughput: bead updates attempted per second (one definition
         # repo-wide — sweep.bead_updates_per_step, also used by bench.py)

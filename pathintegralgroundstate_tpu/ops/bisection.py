@@ -252,17 +252,21 @@ def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
     _, g_rows, u_acc = rand
 
     if tail:
-        R_seg = paths[:, M - 1 - L:][:, ::-1]
-        ib_seg = jnp.broadcast_to(
-            jnp.arange(M - 1, M - 2 - L, -1), (W, L + 1))
+        # the partner block is fed in FORWARD bead order (the reversed view
+        # [:, ::-1] materializes a window-sized copy per move — the rev
+        # kernel was ~36 ms/step of the W=4096 profile); only the moved
+        # particle's small [W, L+1, D] segment is reversed for the
+        # construction, and the row outputs are mapped back by flipping
+        # the level-assignment matrix
+        R_fwd = paths[:, M - 1 - L:]                  # beads M-1-L .. M-1
+        seg0 = R_fwd[:, :, ip, :][:, ::-1]            # reversed chain (small)
         if fodd is not None:
             f_seg, _, k_lo = _codd_window_rev(fodd, M - 1, 0, L)
     else:
-        R_seg = paths[:, : L + 1]
-        ib_seg = jnp.broadcast_to(jnp.arange(L + 1), (W, L + 1))
+        R_fwd = paths[:, : L + 1]
+        seg0 = R_fwd[:, :, ip, :]
         if fodd is not None:
             f_seg, _, k_lo = _codd_window(fodd, 0, 0, L)
-    seg0 = R_seg[:, :, ip, :]
     dtype = seg0.dtype
 
     # free-gaussian terminal guess (vpi_mod.f90:1039-1076) consumes g row 0
@@ -273,17 +277,38 @@ def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
     seg = _construct_levels(system, seg0.at[:, 0].set(xnew0), nlev, L,
                             g_rows)
 
-    xnew_rows, xold_rows = seg[:, :L], seg0[:, :L]
     dfield = None
+    if tail:
+        # forward window row r (r = 1..L, beads M-L..M-1) <-> reversed-
+        # segment row L-r; rows 1..L of R_fwd are the displaced beads
+        xnew_rows = seg[:, :L][:, ::-1]
+        xold_rows = seg0[:, :L][:, ::-1]
+        R_rows = R_fwd[:, 1:]
+        ib_rows = jnp.broadcast_to(jnp.arange(M - L, M), (W, L))
+        flip = True
+    else:
+        xnew_rows, xold_rows = seg[:, :L], seg0[:, :L]
+        R_rows = R_fwd[:, :L]
+        ib_rows = jnp.broadcast_to(jnp.arange(L), (W, L))
+        flip = False
     if fodd is not None:
+        # cache rows ride the reversed order; fold odd rows are forward
+        # rows L-1::-2 <-> reversed rows 1::2.  Keep the reversed-row call
+        # (exact_f2 path only; the window copy is accepted there).
         rows, dfield = delta_action_rows(
-            system, tables, R_seg[:, :L], xnew_rows, xold_rows, ip,
-            ib_seg[:, :L], fold=f_seg, fold_sub=(1, 2))
+            system, tables, R_fwd[:, 1:][:, ::-1] if tail else R_rows,
+            seg[:, :L], seg0[:, :L], ip,
+            jnp.broadcast_to(jnp.arange(M - 1, M - 1 - L, -1), (W, L))
+            if tail else ib_rows, fold=f_seg, fold_sub=(1, 2))
+        alive = _monoshot_accept(active, rows, u_acc, nlev, gate=True)
     else:
         rows = delta_action_rows(
-            system, tables, R_seg[:, :L], xnew_rows, xold_rows, ip,
-            ib_seg[:, :L])
-    alive = _monoshot_accept(active, rows, u_acc, nlev, gate=True)
+            system, tables, R_rows, xnew_rows, xold_rows, ip, ib_rows)
+        A = jnp.asarray(_level_assign(nlev, True), rows.dtype)
+        if flip:
+            A = A[::-1]
+        alive = active & jnp.all(
+            metropolis_u(u_acc, rows @ A), axis=-1)
 
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
     ip_i = jnp.asarray(ip, jnp.int32)

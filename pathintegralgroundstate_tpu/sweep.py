@@ -411,6 +411,12 @@ class Sweeper:
             if self.use_bisection and use_rand:
                 dtp = paths.dtype
 
+                # NOTE (round 5): hoisting these blocks for ALL iterations
+                # out of the loop (one [nit, W, L, D] threefry pass, sliced
+                # per iteration) was measured 26 ms/step SLOWER at W=512 —
+                # the per-iteration dynamic slices of the big HBM blocks
+                # cost more than the saved draw kernels.  Per-iteration
+                # draws stay.
                 def draw(tag, nlev, start=False):
                     kk = self._mk_t(k_step, tag, it)
                     g = jax.random.normal(jax.random.fold_in(kk, 0),

@@ -106,3 +106,49 @@ def test_crystal_start_end_to_end(tmp_path):
     # paths evolved FROM the lattice: the box is the file's, shapes match
     assert z["paths"].shape == (4, 9, 4, 2)
     assert np.all(np.abs(z["paths"]) <= L / 2 + 1e-9)
+
+
+def test_drift_z_statistic():
+    """Equilibration monitor (VERDICT r4 task 7): the first-vs-second-half
+    drift statistic flags a relaxing series and passes a stationary one."""
+    import numpy as np
+
+    from pathintegralgroundstate_tpu.driver import drift_z
+
+    rng = np.random.default_rng(0)
+    drifting = np.exp(-np.arange(24) / 6.0) + 0.01 * rng.normal(size=24)
+    stationary = 0.5 + 0.05 * rng.normal(size=24)
+    assert abs(drift_z(drifting)) > 3.0
+    assert abs(drift_z(stationary)) < 3.0
+    assert drift_z(stationary[:4]) == 0.0  # too few blocks -> silent
+
+
+def test_driver_burnin_warning(tmp_path, capsys):
+    """An under-burned dense He-4 run must trigger the non-stationarity
+    warning; the same run after proper burn-in must not."""
+    import json
+
+    from pathintegralgroundstate_tpu.config import SimConfig
+    from pathintegralgroundstate_tpu.driver import Driver
+
+    cfg = SimConfig(dim=3, Np=6, density=0.365, dt=5e-3, Nb=2,
+                    sampling="sta", Lstag=2, Nstag=2, CMFreq=1,
+                    delta_cm=0.12, Rm=1.2, n_walkers=64, dtype="float64",
+                    potential="aziz2", jastrow="mcmillan_c1", seed=9,
+                    Nstep=5, Nblock=16)
+    # under-burned: fresh uniform placement relaxes through the first blocks
+    drv = Driver(cfg, out_dir=str(tmp_path / "cold"), verbose=True)
+    drv.run()
+    out = capsys.readouterr().out
+    assert "non-stationary" in out, "under-burned run did not warn"
+    zs = [json.loads(ln)["drift_zE"]
+          for ln in open(str(tmp_path / "cold" / "metrics.jsonl"))]
+    assert max(abs(z) for z in zs) > 3.0
+
+    # burned-in: same chain continued after discarding the relaxation
+    drv2 = Driver(cfg, out_dir=str(tmp_path / "warm"), verbose=True)
+    drv2.run_burnin(20)
+    capsys.readouterr()
+    drv2.run()
+    out2 = capsys.readouterr().out
+    assert "non-stationary" not in out2, "converged run warned spuriously"
