@@ -74,3 +74,70 @@ def test_reference_trajectory_replay_golden():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
     # and the trajectory is non-trivial (moves actually accepted)
     assert np.abs(np.diff(want, axis=0)).max() > 1e-3
+
+
+def test_reference_bisection_replay_golden():
+    """Draw-order pin for the remaining diagonal move classes (VERDICT r4
+    task 3): MoveHead / MoveTail (gaussian end guess anchored on the
+    unwrapped far bead, vpi_mod.f90:582-860) and Bisection (any-alignment
+    window draw, per-level midpoint rangauss order, per-level CONDITIONAL
+    Metropolis with early exit, vpi_mod.f90:864-998), all through the
+    bit-exact reference RNG stream and the engine's action kernel.  The
+    golden is regenerable from a future gfortran run by instrumenting the
+    same sweep."""
+    import json
+    import os
+
+    from pathintegralgroundstate_tpu.utils.replay import \
+        replay_bisection_trajectory
+
+    gp = os.path.join(os.path.dirname(__file__), "golden",
+                      "refrng_replay_bisection.json")
+    with open(gp) as fh:
+        g = json.load(fh)
+    want = np.array([[[float.fromhex(v) for v in row] for row in sl]
+                     for sl in g["paths_hex"]])
+    got = replay_bisection_trajectory(
+        seed=g["seed"], nsteps=g["nsteps"], Np=g["Np"], Nb=g["Nb"],
+        dim=g["dim"], Nlev=g["Nlev"], density=g["density"], dt=g["dt"],
+        Rm=g["Rm"])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert np.abs(np.diff(want, axis=0)).max() > 1e-3
+
+
+def test_reference_worm_replay_golden():
+    """Draw-order pin for the worm streams (VERDICT r4 task 3): the
+    vpi.f90:302-323 dispatch draws, OpenChain's even-Ls/half draws,
+    -log(CWorm rho) and broken-link DeltaK (vpi_mod.f90:1821-2076),
+    CloseChain's pin + staging + +log(CWorm rho) (2080-2266), and Swap's
+    kinetic tower selection, Sw/Sk pre-acceptance, tail exchange
+    (2270-2487).  The pinned event log contains accepted AND rejected
+    events of every class (including accepted swaps), so a draw-order
+    drift anywhere in the worm sector shifts the whole stream and fails."""
+    import json
+    import os
+
+    from pathintegralgroundstate_tpu.utils.replay import \
+        replay_worm_trajectory
+
+    gp = os.path.join(os.path.dirname(__file__), "golden",
+                      "refrng_replay_worm.json")
+    with open(gp) as fh:
+        g = json.load(fh)
+    want = np.array([[[float.fromhex(v) for v in row] for row in sl]
+                     for sl in g["paths_hex"]])
+    want_xend = np.array([[float.fromhex(v) for v in row]
+                          for row in g["xend_hex"]])
+    path, xend, events = replay_worm_trajectory(
+        seed=g["seed"], nsteps=g["nsteps"], Np=g["Np"], Nb=g["Nb"],
+        dim=g["dim"], Lstag=g["Lstag"], density=g["density"], dt=g["dt"],
+        Rm=g["Rm"], CWorm=g["CWorm"], nequil=g["nequil"])
+    assert [list(e) for e in events] == [list(e) for e in g["events"]]
+    np.testing.assert_allclose(path, want, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xend), want_xend, rtol=0,
+                               atol=1e-12)
+    # every stream exercised, both outcomes where possible
+    kinds = {(k, a) for k, a in g["events"]}
+    for need in (("open", 1), ("open", 0), ("close", 1), ("swap", 1),
+                 ("swap", 0)):
+        assert tuple(need) in {(k, int(a)) for k, a in kinds}, need
