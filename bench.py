@@ -100,12 +100,13 @@ def main():
                           "reps_s": reps}))
         return
 
-    # W=512 is the measured BEST-W point of the per-chip throughput curve
-    # (round 4, docs/VALIDATION.md: 1.17e8 at 512 vs 1.05e8 at 4096 and
-    # 8.8e7 at 8192 — the sequential chain's latency is amortized by
-    # W ~ 512 and per-move HBM traffic grows with W after that); larger
-    # ensembles belong on MORE CHIPS via the dp mesh, not on a bigger W
-    W = 512 if on_tpu else 8
+    # W=1024 is the measured BEST-W point of the per-chip throughput curve
+    # after the round-5 monoshot rebuild (docs/VALIDATION.md round-5 scan:
+    # 1.34e8 @256, 1.59e8 @512, 1.70e8 @1024, 1.10e8 @1280, 0.94e8 @2048 —
+    # the sequential chain's latency amortizes by W ~ 1k and per-move HBM
+    # traffic takes over right after); larger ensembles belong on MORE
+    # CHIPS via the dp mesh, not on a bigger W
+    W = 1024 if on_tpu else 8
     cfg = _flagship_cfg(n_walkers=W)
     if not on_tpu:  # CPU smoke fallback: shrink the workload
         cfg = cfg.replace(Nb=8, Np=16, Nstag=1, Nobdm=2)

@@ -231,7 +231,7 @@ def vmc_sweep(system: System, key, Rs, Rm, delta, nsweeps: int = 1,
         dlw = lw_fn(Rn) - lw_fn(Rs)
         a = jax.random.uniform(k2, (W,), Rs.dtype) < jnp.exp(2.0 * dlw)
         Rs = jnp.where(a[:, None, None], Rn, Rs)
-        return Rs, acc + jnp.sum(a), key
+        return Rs, acc + jnp.sum(a).astype(jnp.int32), key
 
     def sweep(_, carry):
         return jax.lax.fori_loop(0, N, one, carry)

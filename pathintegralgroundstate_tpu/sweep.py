@@ -73,12 +73,13 @@ _CIDX = {n: i for i, n in enumerate(COUNTER_NAMES)}
 
 # batched-randoms engage threshold on the PER-DEVICE walker count: the
 # lever is pure LATENCY, measured a win only up to the best-W regime
-# (97 -> 83 ms/step at W=512; a LOSS at W >= 1024 where the pre-drawn
-# blocks materialize through HBM).  The per-chip traffic under a dp mesh
-# is the global block divided by the mesh, so the production recipe
-# "512 walkers/chip scaled by dp" keeps the lever engaged (VERDICT r4
-# weak #2: gating on the GLOBAL count silently lost it on every chip).
-BATCH_RAND_MAX_W = 512
+# (97 -> 83 ms/step at W=512 in round 4; with the round-5 monoshot moves
+# the rand path measures 133 vs 135 ms at the new best-W=1024 and a loss
+# by W=2048).  The per-chip traffic under a dp mesh is the global block
+# divided by the mesh, so the production recipe "best-W walkers/chip
+# scaled by dp" keeps the lever engaged (VERDICT r4 weak #2: gating on
+# the GLOBAL count silently lost it on every chip).
+BATCH_RAND_MAX_W = 1024
 
 
 def zero_stats(system: System) -> StepStats:

@@ -92,6 +92,26 @@ def main():
         E_per_N_at_opt=round(float(np.mean([h["E_per_N"] for h in tail])), 4),
         literature="Rm ~ 1.2 sigma (McMillan form, rho=0.365)")))
 
+    # independent check: a fresh-sampled E(Rm) grid (no reweighting, same
+    # seed stream per point) bracketing the optimum
+    if os.environ.get("PIGS_RM_SCAN", "") not in ("", "0"):
+        for rm in (1.00, 1.10, 1.15, 1.20, 1.25, 1.35):
+            k = jax.random.key(99)
+            Rs2, _ = sweep(k, st.paths[:, 0], jnp.asarray(rm))
+            for _ in range(15):
+                k, k2 = jax.random.split(k)
+                Rs2, _ = sweep(k2, Rs2, jnp.asarray(rm))
+            es = []
+            for _ in range(12):
+                k, k2 = jax.random.split(k)
+                Rs2, _ = sweep(k2, Rs2, jnp.asarray(rm))
+                es.append(float(var.vmc_energy(system, Rs2,
+                                               jnp.asarray(rm))) / Np)
+            print(json.dumps(dict(scan_Rm=rm,
+                                  E_per_N=round(float(np.mean(es)), 4),
+                                  err=round(float(np.std(es))
+                                            / np.sqrt(len(es)), 4))))
+
 
 if __name__ == "__main__":
     main()
