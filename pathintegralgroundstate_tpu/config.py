@@ -77,11 +77,15 @@ class SimConfig:
                                  # TPU backend + PBC + closed forms; falls
                                  # back to the bead-chunked jnp path)
     pallas_rows: bool = False    # Pallas rows kernel for the MOVE deltas.
-                                 # Off by default: measured SLOWER than the
-                                 # fused jnp window pass at flagship shapes
-                                 # (the [rows, N] channel-split copies cost
-                                 # more than the kernel saves; benchgrid
-                                 # 2026-08-21, docs/VALIDATION.md)
+                                 # Off by default: re-measured SLOWER than
+                                 # the fused jnp window pass in round 5
+                                 # for every layout tried — [rows, N]
+                                 # channel-split planes (2x window copies),
+                                 # [TR, D, N] blocks (5.3x VMEM padding),
+                                 # and [TR, D*N] with one transpose (the
+                                 # (N, D)-minor layout cannot feed
+                                 # lane-major tiles without a relayout;
+                                 # docs/VALIDATION.md round-5 levers)
     mesh_walkers: int = 1        # data-parallel shards of the walker axis
     mesh_pairs: int = 1          # tensor-parallel shards of the pair/partner
                                  # axis: >1 annotates the pair kernels'
@@ -367,7 +371,8 @@ _NML_GROUPS = (
     ("tpu", ("n_walkers", "dtype", "potential", "jastrow", "mesh_walkers",
              "mesh_pairs", "mesh_beads", "distributed", "exact_f2",
              "f2_cache", "fused_sweep", "sampling", "regrow", "smart_mc",
-             "use_pallas", "measure_every", "density_map")),
+             "use_pallas", "measure_every", "density_map",
+             "bis_monoshot")),
 )
 
 
