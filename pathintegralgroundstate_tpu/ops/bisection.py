@@ -240,8 +240,13 @@ def _bisection_monoshot(system: System, tables: Tables, key, paths, ip,
 
 def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
                             active, nlev: int, tail: bool, fodd=None,
-                            rand=None):
-    """End-segment bisection, one pair kernel for gate + all levels."""
+                            rand=None, defer_write: bool = False):
+    """End-segment bisection, one pair kernel for gate + all levels.
+
+    defer_write=True returns (seg_fin, alive) instead of writing the
+    window back — the paired-ends caller applies both ends' writebacks
+    after computing both from the SAME input paths (valid because the two
+    windows are disjoint/non-adjacent; see paired_end_bisections)."""
     cfg = system.cfg
     M = system.M
     dt = cfg.dt
@@ -311,6 +316,9 @@ def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
             metropolis_u(u_acc, rows @ A), axis=-1)
 
     seg_fin = jnp.where(alive[:, None, None], seg, seg0)
+    if defer_write:
+        assert fodd is None
+        return seg_fin, alive
     ip_i = jnp.asarray(ip, jnp.int32)
     if tail:
         paths = lax.dynamic_update_slice(
@@ -325,6 +333,35 @@ def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
                                 reverse=tail)
         return paths, fodd, alive
     return paths, alive
+
+
+def paired_end_bisections(system: System, tables: Tables, kh, kt, paths,
+                          ip, active, level: int, rand_h=None, rand_t=None):
+    """Head + tail monoshot end-bisections of one particle computed from
+    the SAME input paths, writebacks applied together afterward.
+
+    Kernel-identical to running the two moves sequentially: the windows
+    are disjoint and non-adjacent (caller guarantees 2**(level+1) < M-1),
+    so the tail's partner block and its own segment are unchanged by the
+    head's writeback — reading both from the pre-move paths removes the
+    false head -> tail buffer dependency and lets XLA overlap the two
+    pair chains' DMA/compute.  Returns (paths, acc_h, acc_t)."""
+    M = system.M
+    L = 2 ** max(level, 2)
+    fin_h, acc_h = _end_bisection_monoshot(
+        system, tables, kh, paths, ip, active, max(level, 2), tail=False,
+        rand=rand_h, defer_write=True)
+    fin_t, acc_t = _end_bisection_monoshot(
+        system, tables, kt, paths, ip, active, max(level, 2), tail=True,
+        rand=rand_t, defer_write=True)
+    ip_i = jnp.asarray(ip, jnp.int32)
+    paths = lax.dynamic_update_slice(
+        paths, fin_h[:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    paths = lax.dynamic_update_slice(
+        paths, fin_t[:, ::-1][:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
+    return paths, acc_h, acc_t
 
 
 def bisection(system: System, tables: Tables, key, paths, ip, active,
@@ -584,6 +621,88 @@ def _end_bisection(system: System, tables: Tables, key, paths, ip, active,
 # tested per composite in tests/test_invariance.py.
 
 
+def _fused_ends_monoshot(system: System, tables: Tables, key, paths, ip,
+                         active, level: int, fodd=None, rand=None):
+    """Head+tail composite in monoshot form: one shared draw block, one
+    batched construction over both segments, TWO pair kernels (head rows
+    forward, tail rows forward — no reversed window copies), one accept
+    matmul.  Composite validity as fused_end_bisections; kernel semantics
+    as _end_bisection_monoshot.  Returns (paths[, fodd], acc_h, acc_t)."""
+    cfg = system.cfg
+    M = system.M
+    dt = cfg.dt
+    W = paths.shape[0]
+    L = 2 ** level
+    if rand is None:
+        ks = jax.random.split(key, 2)
+        g2 = jax.random.normal(ks[0], (W, 2, L, cfg.dim), paths.dtype)
+        u2 = jax.random.uniform(ks[1], (W, 2, level + 1), paths.dtype)
+    else:
+        _, g2, u2 = rand
+
+    R_head = paths[:, : L + 1]
+    R_tailf = paths[:, M - 1 - L:]                 # forward order
+    seg0 = jnp.stack([R_head[:, :, ip, :],
+                      R_tailf[:, :, ip, :][:, ::-1]], axis=1)  # [W,2,L+1,D]
+    dtype = seg0.dtype
+    if fodd is not None:
+        f_head, _, k_h = _codd_window(fodd, 0, 0, L)
+        f_tail, _, k_t = _codd_window_rev(fodd, M - 1, 0, L)
+
+    xold0 = seg0[:, :, 0]
+    anchor = seg0[:, :, L]
+    xmid = xold0 - _mi(system, xold0 - anchor)
+    xnew0 = _wrap_pos(system, xmid + jnp.sqrt(L * dt) * g2[:, :, 0])
+    seg = _construct_levels(system, seg0.at[:, :, 0].set(xnew0), level, L,
+                            g2)
+
+    A = jnp.asarray(_level_assign(level, True), dtype)
+    # head rows: forward order 0..L-1
+    ib_h = jnp.broadcast_to(jnp.arange(L), (W, L))
+    # tail rows: forward beads M-L..M-1 <-> reversed-segment rows L-1..0
+    ib_t = jnp.broadcast_to(jnp.arange(M - L, M), (W, L))
+    if fodd is not None:
+        rows_h, df_h = delta_action_rows(
+            system, tables, R_head[:, :L], seg[:, 0, :L], seg0[:, 0, :L],
+            ip, ib_h, fold=f_head, fold_sub=(1, 2))
+        # tail keeps the reversed-row orientation on the cache path
+        rows_t, df_t = delta_action_rows(
+            system, tables, R_tailf[:, 1:][:, ::-1], seg[:, 1, :L],
+            seg0[:, 1, :L], ip,
+            jnp.broadcast_to(jnp.arange(M - 1, M - 1 - L, -1), (W, L)),
+            fold=f_tail, fold_sub=(1, 2))
+        acc_h = active & jnp.all(metropolis_u(u2[:, 0], rows_h @ A),
+                                 axis=-1)
+        acc_t = active & jnp.all(metropolis_u(u2[:, 1], rows_t @ A),
+                                 axis=-1)
+    else:
+        rows_h = delta_action_rows(system, tables, R_head[:, :L],
+                                   seg[:, 0, :L], seg0[:, 0, :L], ip, ib_h)
+        rows_t = delta_action_rows(system, tables, R_tailf[:, 1:],
+                                   seg[:, 1, :L][:, ::-1],
+                                   seg0[:, 1, :L][:, ::-1], ip, ib_t)
+        acc_h = active & jnp.all(metropolis_u(u2[:, 0], rows_h @ A),
+                                 axis=-1)
+        acc_t = active & jnp.all(metropolis_u(u2[:, 1], rows_t @ A[::-1]),
+                                 axis=-1)
+
+    acc2 = jnp.stack([acc_h, acc_t], axis=1)
+    seg_fin = jnp.where(acc2[:, :, None, None], seg, seg0)
+    ip_i = jnp.asarray(ip, jnp.int32)
+    paths = lax.dynamic_update_slice(
+        paths, seg_fin[:, 0][:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(0), ip_i, jnp.int32(0)))
+    paths = lax.dynamic_update_slice(
+        paths, seg_fin[:, 1, ::-1][:, :, None, :].astype(paths.dtype),
+        (jnp.int32(0), jnp.int32(M - 1 - L), ip_i, jnp.int32(0)))
+    if fodd is not None:
+        fodd = _cache_win_write(fodd, f_head, df_h, acc_h, k_h)
+        fodd = _cache_win_write(fodd, f_tail, df_t, acc_t, k_t,
+                                reverse=True)
+        return paths, fodd, acc_h, acc_t
+    return paths, acc_h, acc_t
+
+
 def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
                          active, level: int, fodd=None, rand=None):
     """MoveHeadBisection + MoveTailBisection of one particle as ONE
@@ -597,6 +716,9 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     (see module note on the deferred, final-alive-gated update).
     Returns (paths[, fodd], acc_head[W], acc_tail[W]).
     """
+    if system.cfg.bis_monoshot:
+        return _fused_ends_monoshot(system, tables, key, paths, ip, active,
+                                    level, fodd=fodd, rand=rand)
     cfg = system.cfg
     M = system.M
     dt = cfg.dt
@@ -710,6 +832,78 @@ def fused_end_bisections(system: System, tables: Tables, key, paths, ip,
     return paths, alive[:, 0], alive[:, 1]
 
 
+def _bisection_multi_monoshot(system: System, tables: Tables, key, paths,
+                              ips, active, level: int, fodd=None,
+                              rand=None):
+    """K-slot interior composite in monoshot form: one span read, one
+    batched construction over all slots, ONE pair kernel over every slot's
+    displaced rows, one accept matmul.  Slot/span semantics exactly as
+    bisection_multi.  Returns (paths[, fodd], acc[W, K])."""
+    cfg = system.cfg
+    M = system.M
+    W = paths.shape[0]
+    L = 2 ** level
+    K = len(ips)
+    span = K * L
+    assert span <= M - 1, f"K={K} slots of {L} links exceed {M - 1} links"
+    active = jnp.asarray(active)
+    if active.ndim == 1:
+        active = jnp.broadcast_to(active[:, None], (W, K))
+    n_shift = (M - 1 - span) // 2 + 1
+    if rand is None:
+        ks = jax.random.split(key, 3)
+        u_shift = jax.random.uniform(ks[0], (), paths.dtype)
+        gK = jax.random.normal(ks[1], (W, K, L, cfg.dim), paths.dtype)
+        uK = jax.random.uniform(ks[2], (W, K, level + 1), paths.dtype)
+    else:
+        u_shift, gK, uK = rand
+    s = 2 * jnp.floor(u_shift * n_shift).astype(jnp.int32)
+    R_big = lax.dynamic_slice_in_dim(paths, s, span + 1, axis=1)
+
+    ips_arr = [jnp.asarray(p, jnp.int32) for p in ips]
+    ip_mat = jnp.stack(ips_arr)                               # [K]
+    seg0 = jnp.stack(
+        [R_big[:, k * L: (k + 1) * L + 1, ips_arr[k], :] for k in range(K)],
+        axis=1)                                               # [W, K, L+1, D]
+    seg = _construct_levels(system, seg0, level, L, gK)
+
+    # every slot's displaced rows in ONE kernel: slot k rows 1..L-1 at
+    # beads s + kL + 1 .. s + kL + L - 1 (the span reshape is a free view)
+    R_rows = R_big[:, :span].reshape(W, K, L, cfg.Np, cfg.dim)[:, :, 1:]
+    idx = np.stack([k * L + np.arange(1, L) for k in range(K)])  # [K, L-1]
+    ib_rows = s + jnp.broadcast_to(jnp.asarray(idx)[None], (W, K, L - 1))
+    ip_rows = jnp.broadcast_to(ip_mat[None, :, None], (W, K, L - 1))
+    dfield = None
+    if fodd is not None:
+        f_big = lax.dynamic_slice_in_dim(fodd, s // 2, span // 2, axis=1)
+        rows, dfield = delta_action_rows(
+            system, tables, R_rows, seg[:, :, 1:L], seg0[:, :, 1:L],
+            ip_rows, ib_rows,
+            fold=f_big.reshape(W, K, L // 2, cfg.Np, cfg.dim),
+            fold_sub=(0, 2), need_wf=False)
+    else:
+        rows = delta_action_rows(
+            system, tables, R_rows, seg[:, :, 1:L], seg0[:, :, 1:L],
+            ip_rows, ib_rows, need_wf=False)
+    A = jnp.asarray(_level_assign(level, False), rows.dtype)
+    alive = active & jnp.all(
+        metropolis_u(uK[:, :, 1:], rows @ A), axis=-1)        # [W, K]
+
+    seg_fin = jnp.where(alive[:, :, None, None], seg, seg0)
+    for k in range(K):
+        upd = seg_fin[:, k, 1:L, None, :]                     # [W, L-1, 1, D]
+        paths = lax.dynamic_update_slice(
+            paths, upd.astype(paths.dtype),
+            (jnp.int32(0), s + k * L + 1, ips_arr[k], jnp.int32(0)))
+    if fodd is not None:
+        slot_alive = jnp.repeat(alive, L // 2, axis=1)        # [W, span//2]
+        dF = dfield.reshape(W, span // 2, cfg.Np, cfg.dim)
+        f_big = f_big + jnp.where(slot_alive[:, :, None, None], dF, 0.0)
+        fodd = lax.dynamic_update_slice_in_dim(fodd, f_big, s // 2, axis=1)
+        return paths, fodd, alive
+    return paths, alive
+
+
 def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
                     level: int, fodd=None, rand=None):
     """Interior multilevel bisections of K DISTINCT particles as one
@@ -728,6 +922,10 @@ def bisection_multi(system: System, tables: Tables, key, paths, ips, active,
     all-bead force-field cache (deferred, final-alive-gated update).
     Returns (paths[, fodd], acc[W, K]).
     """
+    if system.cfg.bis_monoshot:
+        return _bisection_multi_monoshot(system, tables, key, paths, ips,
+                                         active, level, fodd=fodd,
+                                         rand=rand)
     cfg = system.cfg
     M = system.M
     dt = cfg.dt

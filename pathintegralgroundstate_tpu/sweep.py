@@ -206,6 +206,13 @@ class Sweeper:
         self.Lstag = cfg.Lstag
         self.Nlev = cfg.Nlev
         self.use_bisection = cfg.sampling == "bis"
+        # paired head+tail ends (ops/bisection.paired_end_bisections):
+        # bitwise-identical to the sequential order (disjoint windows) but
+        # measured a WASH at best-W=1024 (135.6 vs 134.8 ms) and a LOSS at
+        # W=4096 (930 vs 863) — deferring the head writeback keeps both
+        # path buffers alive and costs XLA its in-place aliasing.  Kept
+        # implemented + bitwise-tested as a retired lever; off.
+        self.paired_ends = False
         # batched-randoms hot path for the unfused bisection sweep: the
         # per-move threefry plumbing (fold_in + split + ~6 draw kernels per
         # move) measured ~31 us of the ~88 us best-W move budget; drawing
@@ -444,6 +451,17 @@ class Sweeper:
                     paths, fodd, acc_b = self.v_bisect(
                         kb, paths, ip, active, self.Nlev, fodd=fodd,
                         rand=r_b)
+                elif self.paired_ends:
+                    # head+tail from the SAME pre-move paths, writebacks
+                    # applied together (bitwise-identical outcomes — the
+                    # disjoint windows see none of each other's writes —
+                    # but without the false head -> tail buffer
+                    # dependency; ops/bisection.paired_end_bisections)
+                    paths, acc_h, acc_t = bis.paired_end_bisections(
+                        self.system, self.tables, kh, kt, paths, ip,
+                        active, self.Nlev, rand_h=r_h, rand_t=r_t)
+                    paths, acc_b = self.v_bisect(
+                        kb, paths, ip, active, self.Nlev, rand=r_b)
                 else:
                     paths, acc_h = self.v_head_bis(
                         kh, paths, ip, active, self.Nlev, rand=r_h)
@@ -458,6 +476,11 @@ class Sweeper:
                     kt, paths, ip, active, self.Nlev, fodd=fodd)
                 paths, fodd, acc_b = self.v_bisect(
                     kb, paths, ip, active, self.Nlev, fodd=fodd)
+            elif self.use_bisection and self.paired_ends:
+                paths, acc_h, acc_t = bis.paired_end_bisections(
+                    self.system, self.tables, kh, kt, paths, ip, active,
+                    self.Nlev)
+                paths, acc_b = self.v_bisect(kb, paths, ip, active, self.Nlev)
             elif self.use_bisection:
                 paths, acc_h = self.v_head_bis(kh, paths, ip, active, self.Nlev)
                 paths, acc_t = self.v_tail_bis(kt, paths, ip, active, self.Nlev)

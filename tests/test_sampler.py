@@ -252,3 +252,31 @@ def test_monoshot_matches_per_level():
                     np.asarray(x), np.asarray(y), rtol=1e-12, atol=1e-14,
                     err_msg=f"{name}/exact_f2={exact_f2}")
             assert int(np.sum(np.asarray(outs[True][-1]))) > 0
+
+
+def test_paired_end_bisections_bitwise():
+    """paired_end_bisections (retired scheduling lever, kept tested):
+    computing head+tail from the SAME pre-move paths with both writebacks
+    applied afterward must be BITWISE identical to the sequential order —
+    the two end windows are disjoint and non-adjacent, so neither move
+    sees the other's writes."""
+    import jax.numpy as jnp
+
+    from pathintegralgroundstate_tpu.ops import bisection as bis
+
+    cfg = SimConfig(dim=3, Np=8, density=0.365, dt=5e-3, Nb=20,
+                    sampling="bis", Nlev=2, Nstag=1, n_walkers=16,
+                    dtype="float64", potential="aziz2", seed=5)
+    s = make_system(cfg)
+    t = make_tables(s)
+    paths = init_state(s).paths
+    kh, kt = jax.random.key(1), jax.random.key(2)
+    active = jnp.ones((16,), bool)
+    p1, a_h1 = bis.move_head_bisection(s, t, kh, paths, 3, active, cfg.Nlev)
+    p1, a_t1 = bis.move_tail_bisection(s, t, kt, p1, 3, active, cfg.Nlev)
+    p2, a_h2, a_t2 = bis.paired_end_bisections(s, t, kh, kt, paths, 3,
+                                               active, cfg.Nlev)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(a_h1), np.asarray(a_h2))
+    np.testing.assert_array_equal(np.asarray(a_t1), np.asarray(a_t2))
+    assert int(np.sum(np.asarray(a_h2))) > 0
