@@ -170,46 +170,48 @@ def _pot_kernel(system, with_force, Rt_ref, pot_ref, f2_ref):
 
 
 # ---------------------------------------------------------------------------
-# Transpose-free fused window kernel (round 3)
+# Both-sides fused window kernel (round 5 layout)
 # ---------------------------------------------------------------------------
 #
 # The round-2 kernels above put flattened rows on the LANE axis, which
 # requires transposing R [W, B, N, D] -> [D, N, rows] before every call —
-# measured at ~3 ms per move at W=4096, dwarfing the pair arithmetic and
-# making the jnp path faster.  The rows kernel below avoids all layout
-# changes: inputs are CHANNEL-SPLIT planes R[..., k] reshaped to [rows, N]
-# (XLA fuses the D strided slices into one read of R), rows ride the
-# sublane axis, partners the lane axis, and per-row outputs are [rows, 1]
-# blocks.  One call evaluates BOTH Metropolis sides of a whole move window
-# — potential, moved-particle force, and (optionally) the Jastrow log-sum —
-# entirely in VMEM: the only HBM traffic is one compact read of the window.
+# measured at ~3 ms per move at W=4096.  The round-3 attempt fed
+# channel-split [rows, N] planes instead, but materializing D strided
+# slices of R costs ~2x the window bytes in HBM copies before the kernel
+# starts — slower than the jnp chain at flagship shapes.
+#
+# Round 5: ONE layout change per call — R reshaped to [rows, D, N] (a
+# single minor-axes transpose, window-sized) — and the per-dim planes are
+# taken INSIDE the kernel as R_ref[:, k, :], a free VMEM subview.  Rows
+# ride sublanes, partners the lane axis.  One call evaluates BOTH
+# Metropolis sides of a whole move window — potential, moved-particle
+# force, and (optionally) the Jastrow log-sum — entirely in VMEM; HBM
+# traffic is the transpose (r+w) plus one kernel read of the window,
+# replacing the jnp chain's two big-fusion passes + 4-6 reduce kernels
+# with their materialized [rows, N] intermediates.
 
 TILE_R = 256
 
 
-def _rows_kernel(system, need_wf, nd, *refs):
+def _rows_kernel(system, need_wf, nd, Rt_ref, xn_ref, xo_ref, ip_ref,
+                 *outs):
     """Per-row (dpot, df2[, du]) of xnew/xold vs partners — both sides fused.
 
-    refs: R_k x nd [TR, N]; xn_k, xo_k x nd [TR, 1]; ip [TR, 1] (i32);
-    outs: dpot, df2 (+ du) [TR, 1].
+    Rt_ref [TR, D*N] (dim-major planes, contiguous per k); xn/xo [TR, D];
+    ip [TR, 1] (i32); outs: dpot, df2 (+ du) [TR, 1].
     """
-    R_refs = refs[:nd]
-    xn_refs = refs[nd:2 * nd]
-    xo_refs = refs[2 * nd:3 * nd]
-    ip_ref = refs[3 * nd]
-    outs = refs[3 * nd + 1:]
-    N = R_refs[0].shape[1]
-    dtype = R_refs[0].dtype
+    N = Rt_ref.shape[1] // nd
+    dtype = Rt_ref.dtype
     geo = system.geo
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, N), 1)
     notself = iota_n != ip_ref[:, 0][:, None]
 
-    def side(x_refs):
+    def side(x_ref):
         r2 = None
         dxs = []
         for k in range(nd):
-            dx = x_refs[k][:, 0][:, None] - R_refs[k][:, :]   # [TR, N]
+            dx = x_ref[:, k][:, None] - Rt_ref[:, k * N:(k + 1) * N]
             if system.pbc:
                 L = jnp.asarray(geo.Lbox[k], dtype)
                 half = jnp.asarray(0.5 * geo.Lbox[k], dtype)
@@ -239,8 +241,8 @@ def _rows_kernel(system, need_wf, nd, *refs):
             usum = jnp.sum(jnp.where(mf, u, 0.0), axis=1)
         return pot, f2, usum
 
-    pot_n, f2_n, u_n = side(xn_refs)
-    pot_o, f2_o, u_o = side(xo_refs)
+    pot_n, f2_n, u_n = side(xn_ref)
+    pot_o, f2_o, u_o = side(xo_ref)
     outs[0][:, 0] = pot_n - pot_o
     outs[1][:, 0] = f2_n - f2_o
     if need_wf:
@@ -261,24 +263,16 @@ def pair_rows_pallas(system, R, xnew, xold, ip, need_wf: bool):
     """Fused per-row (dpot, df2[, du]) for R [W, B, N, D], x [W, B, D].
 
     ip: scalar, [W], or [W, B].  Returns [W, B] arrays (du None unless
-    need_wf).  The channel-split reshapes are layout-preserving; no
-    transposes anywhere.
-    """
+    need_wf)."""
     W, B, N, D = R.shape
     dtype = R.dtype
     rows = W * B
     rows_p = ((rows + TILE_R - 1) // TILE_R) * TILE_R
     pad = rows_p - rows
 
-    def prep(a, lastdim):
-        a = a.reshape(rows, lastdim)
-        if pad:
-            a = jnp.pad(a, ((0, pad), (0, 0)))
-        return a
-
-    ins = [prep(R[..., k], N) for k in range(D)]
-    ins += [prep(xnew[..., k], 1) for k in range(D)]
-    ins += [prep(xold[..., k], 1) for k in range(D)]
+    Rt = jnp.swapaxes(R.reshape(rows, N, D), 1, 2).reshape(rows, D * N)
+    x2 = jnp.concatenate([xnew.reshape(rows, D),
+                          xold.reshape(rows, D)], axis=1)  # [rows, 2D]
     ip = jnp.asarray(ip, jnp.int32)
     if ip.ndim == 0:
         ip_rows = jnp.full((rows, 1), ip, jnp.int32)
@@ -287,22 +281,29 @@ def pair_rows_pallas(system, R, xnew, xold, ip, need_wf: bool):
     else:
         ip_rows = jnp.broadcast_to(ip[:, None], (W, B)).reshape(rows, 1)
     if pad:
+        Rt = jnp.pad(Rt, ((0, pad), (0, 0)))
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         ip_rows = jnp.pad(ip_rows, ((0, pad), (0, 0)))
-    ins.append(ip_rows)
 
     n_out = 3 if need_wf else 2
-    spec_r = pl.BlockSpec((TILE_R, N), lambda i: (i, 0),
+    spec_R = pl.BlockSpec((TILE_R, D * N), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_x = pl.BlockSpec((TILE_R, 2 * D), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     spec_1 = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    kernel = functools.partial(_rows_kernel, system, need_wf, D)
+
+    def kernel(Rt_ref, x2_ref, ip_ref, *outs):
+        _rows_kernel(system, need_wf, D, Rt_ref, x2_ref[:, :D],
+                     x2_ref[:, D:], ip_ref, *outs)
+
     outs = pl.pallas_call(
         kernel,
         grid=(rows_p // TILE_R,),
-        in_specs=[spec_r] * D + [spec_1] * (2 * D + 1),
+        in_specs=[spec_R, spec_x, spec_1],
         out_specs=[spec_1] * n_out,
         out_shape=[jax.ShapeDtypeStruct((rows_p, 1), dtype)] * n_out,
-    )(*ins)
+    )(Rt, x2, ip_rows)
     outs = [o[:rows, 0].reshape(W, B) for o in outs]
     if need_wf:
         return outs[0], outs[1], outs[2]
