@@ -101,9 +101,9 @@ def main():
         return
 
     # W=1024 is the measured BEST-W point of the per-chip throughput curve
-    # after the round-5 monoshot rebuild (docs/VALIDATION.md round-5 scan:
-    # 1.34e8 @256, 1.59e8 @512, 1.70e8 @1024, 1.10e8 @1280, 0.94e8 @2048 —
-    # the sequential chain's latency amortizes by W ~ 1k and per-move HBM
+    # after the round-5 monoshot + dyadic-bridge rebuild (docs/VALIDATION.md
+    # round-5 scans: 1.92e8 @1024 vs 1.16e8 @1536, 0.96e8 @2048 — the
+    # sequential chain's latency amortizes by W ~ 1k and per-move HBM
     # traffic takes over right after); larger ensembles belong on MORE
     # CHIPS via the dp mesh, not on a bigger W
     W = 1024 if on_tpu else 8

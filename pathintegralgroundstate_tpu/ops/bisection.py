@@ -34,6 +34,7 @@ traffic, bitwise-identical dS (their F^2 weight is exactly zero).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -130,11 +131,60 @@ def _level_proposal(system: System, key, seg, ilev: int, nlev: int,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _dyadic_tables(level: int, dt: float):
+    """The all-level bisection construction as a linear map (float64).
+
+    Unrolling the dyadic recursion  y_p = 0.5 (y_prev + y_next) +
+    sigma_lev g_p  (anchors y_0 = 0, y_L = u_L) gives
+
+        y_p = c_p u_L + sum_q T[p, q] g_q ,   c_p = p / L,
+
+    with T the dyadic bridge factor — the bisection-basis analogue of the
+    staging Brownian-bridge matrix (ops/moves._bridge_tables).  Returns
+    (T[L-1, L-1], c[L-1]) over interior positions 1..L-1 (T columns index
+    the gaussian of the SAME window position, matching the rand path's
+    row-indexed g blocks)."""
+    L = 2 ** level
+    T = np.zeros((L + 1, L + 1))
+    c = np.zeros(L + 1)
+    c[L] = 1.0
+    for ilev in range(1, level + 1):
+        delta = 2 ** (level - ilev + 1)
+        sigma = math.sqrt(0.25 * delta * dt)
+        for p in range(delta // 2, L, delta):
+            prev, nxt = p - delta // 2, p + delta // 2
+            T[p] = 0.5 * (T[prev] + T[nxt])
+            T[p, p] += sigma
+            c[p] = 0.5 * (c[prev] + c[nxt])
+    return T[1:L, 1:L], c[1:L]
+
+
 def _construct_levels(system: System, seg, level: int, L: int, g_rows):
-    """Deterministic all-level bisection construction: level ilev's
-    midpoints from the current seg anchors + its own gaussian rows (g_rows
-    indexed by window position, exactly as _level_proposal's rand path).
-    Works at any batch rank (window axis is -2)."""
+    """Deterministic all-level bisection construction: the whole dyadic
+    hierarchy as ONE bridge matmul in displacement space (unwrap the far
+    anchor once, matmul, wrap once) — ~8 small elementwise kernels per
+    move collapse to ~3.  Equivalent to the per-level loop below up to
+    image choice at intermediate levels (per-level wraps pick box images
+    mid-construction; all downstream pair math is image-invariant — the
+    same argument as the staging bridge vs scan, ops/moves.segment_regrow)
+    and to fp reassociation.  Works at any batch rank (window axis -2);
+    g_rows indexed by window position (rand-path convention)."""
+    dtype = seg.dtype
+    Tnp, cnp = _dyadic_tables(level, system.cfg.dt)
+    T = jnp.asarray(Tnp, dtype)
+    c = jnp.asarray(cnp, dtype)
+    x0 = seg[..., 0, :]
+    uL = -_mi(system, x0 - seg[..., L, :])       # unwrapped (x_L - x_0)
+    y = (c[:, None] * uL[..., None, :]
+         + jnp.einsum("pq,...qd->...pd", T, g_rows[..., 1:L, :]))
+    x = _wrap_pos(system, x0[..., None, :] + y)
+    return seg.at[..., 1:L, :].set(x)
+
+
+def _construct_levels_loop(system: System, seg, level: int, L: int, g_rows):
+    """The literal per-level construction (reference order; regression
+    anchor for _construct_levels' matmul form)."""
     ax = seg.ndim - 2
     for ilev in range(1, level + 1):
         d2, delta, m, _, xnew = _level_proposal(system, None, seg, ilev,
