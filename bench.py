@@ -15,12 +15,13 @@ Fortran process (same algorithm, same workload, one walker).  Measured via
 PIGS_BENCH_CPU_BASELINE=1 (takes ~10 min, dominated by compile); the stored
 constant below records the last measurement.
 
-Roofline context (docs/VALIDATION.md 'Performance'): the Pallas pair_pot
-kernel sustains ~37 G Aziz-II pair-evals/s (~1.5 TFLOP/s-equivalent on the
-VPU) on the ThermEnergy sweep; the residual step time is the ~1,000-deep
-sequential per-particle Metropolis chain the algorithm prescribes
-(vpi.f90:421-439) at ~0.9 ms per move — XLA glue over the ensemble state,
-not pair arithmetic.
+Roofline context (docs/VALIDATION.md round-5 'profile and ceiling'): the
+Pallas pair_pot kernel sustains ~37 G Aziz-II pair-evals/s on the
+ThermEnergy sweep; the step time is the ~1,000-deep sequential
+per-particle Metropolis chain the algorithm prescribes (vpi.f90:421-439),
+each move one monoshot pair kernel (all bisection levels fused) plus a
+dyadic-bridge construction matmul, streaming its window at the measured
+per-shape HBM bandwidth.
 """
 
 import json
