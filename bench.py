@@ -126,7 +126,6 @@ def main():
     # OPEN walkers.  open_frac comes from the measured counters
     # (try_cm_half sums the per-iteration active count).
     from pathintegralgroundstate_tpu.sweep import _CIDX
-    worm_per = per
     cfg_noworm = cfg.replace(CWorm=0.0, Nobdm=0, swapping=False)
     diag_per = _bead_updates_per_step(cfg_noworm)
     worm_per = per - diag_per

@@ -165,6 +165,13 @@ class SimConfig:
                                  # False: per-walker offsets.
     bis_end_random_depth: bool = False  # reference-style random end-bisection
                                         # depths (compiles one body per depth)
+    paired_ends: bool = False    # compute head+tail end moves from the
+                                 # same pre-move paths and apply both
+                                 # writebacks together (bitwise-identical;
+                                 # ops/bisection.paired_end_bisections).
+                                 # Off: measured a wash at best-W and an
+                                 # 8% loss at W=4096 (deferred writeback
+                                 # breaks XLA's in-place aliasing)
     bis_monoshot: bool = True    # one-dispatch bisection moves: the level
                                  # chain's construction is deterministic
                                  # given the draws and the accepts

@@ -357,13 +357,16 @@ class Driver:
             zE = drift_z(acc["hist_E"])
         if cfg.CWorm > 0.0:
             zn0 = drift_z(acc["hist_n0"], min_n=6)
-        if self.is_main and (abs(zE) > 3.0 or abs(zn0) > 3.0):
-            what = "energy block means" if abs(zE) > 3.0 else "OBDM weight"
-            z = zE if abs(zE) > 3.0 else zn0
-            print(f"# WARNING: {what} drift z={z:+.1f} (first vs second "
-                  f"half of {len(acc['hist_E'])} blocks) — the chain looks "
-                  "non-stationary; burn-in was probably insufficient "
-                  "(re-run with --burnin or discard early blocks)")
+        if self.is_main:
+            for what, z, n in (
+                    ("energy block means", zE, len(acc["hist_E"])),
+                    ("OBDM super-block weight", zn0, len(acc["hist_n0"]))):
+                if abs(z) > 3.0:
+                    print(f"# WARNING: {what} drift z={z:+.1f} (first vs "
+                          f"second half of {n} points) — the chain looks "
+                          "non-stationary; burn-in was probably "
+                          "insufficient (re-run with --burnin or discard "
+                          "early blocks)")
 
         ctr = np.asarray(stats.counters, dtype=np.int64)
         c = {n: int(ctr[i]) for n, i in _CIDX.items()}

@@ -210,20 +210,20 @@ class Sweeper:
         # bitwise-identical to the sequential order (disjoint windows) but
         # measured a WASH at best-W=1024 (135.6 vs 134.8 ms) and a LOSS at
         # W=4096 (930 vs 863) — deferring the head writeback keeps both
-        # path buffers alive and costs XLA its in-place aliasing.  Kept
-        # implemented + bitwise-tested as a retired lever; off.
-        self.paired_ends = False
+        # path buffers alive and costs XLA its in-place aliasing.  Off by
+        # default (cfg.paired_ends); the windows must be disjoint and
+        # non-adjacent for validity.
+        self.paired_ends = (cfg.paired_ends and cfg.bis_monoshot
+                            and 2 ** (max(cfg.Nlev, 2) + 1) < cfg.M - 1)
         # batched-randoms hot path for the unfused bisection sweep: the
         # per-move threefry plumbing (fold_in + split + ~6 draw kernels per
-        # move) measured ~31 us of the ~88 us best-W move budget; drawing
+        # move) measured ~31 us of the round-4 best-W move budget; drawing
         # each move's gaussians/uniforms in 3 kernels removes most of it
         # (ops/moves.metropolis_u).  Same distribution, different stream
-        # mapping.  LATENCY lever only: measured 97 -> 83 ms/step at the
-        # best-W point W=512 (1.37e8 bead-updates/s) but 859 -> 1181 at
-        # W=4096, where the pre-drawn [W, L, D] blocks materialize through
-        # HBM and their strided row slices cost real traffic — so it
-        # engages only for W <= 512 (static per compiled shape;
-        # W=1024 measured neutral-to-negative).
+        # mapping.  LATENCY lever only: a loss by W=2048 where the
+        # pre-drawn [W, L, D] blocks materialize through HBM — the engage
+        # threshold is BATCH_RAND_MAX_W (per-device; see its comment for
+        # the round-5 measurements).
         self.batch_rand = (self.use_bisection and cfg.shared_windows
                            and not cfg.bis_end_random_depth)
 

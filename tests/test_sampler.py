@@ -280,3 +280,54 @@ def test_paired_end_bisections_bitwise():
     np.testing.assert_array_equal(np.asarray(a_h1), np.asarray(a_h2))
     np.testing.assert_array_equal(np.asarray(a_t1), np.asarray(a_t2))
     assert int(np.sum(np.asarray(a_h2))) > 0
+
+
+def test_monoshot_composites_match_per_level():
+    """The composite monoshot forms (_fused_ends_monoshot,
+    _bisection_multi_monoshot) must also reproduce their per-level
+    counterparts exactly under identical pre-drawn randoms — a misaligned
+    accept column or a dropped tail row-flip would otherwise only face the
+    (much weaker) distributional invariance tests."""
+    import jax.numpy as jnp
+
+    from pathintegralgroundstate_tpu.ops import bisection as bis
+
+    cfg = SimConfig(dim=3, Np=8, density=0.365, dt=5e-3, Nb=10,
+                    sampling="bis", Nlev=2, Nstag=1, n_walkers=16,
+                    dtype="float64", potential="aziz2", seed=5)
+    tables = make_tables(make_system(cfg))
+    paths = init_state(make_system(cfg)).paths
+    W, L, K = 16, 2 ** cfg.Nlev, 3
+    key = jax.random.key(7)
+    active = jnp.ones((W,), bool)
+    g2 = jax.random.normal(jax.random.key(1), (W, 2, L, 3), jnp.float64)
+    u2 = jax.random.uniform(jax.random.key(2), (W, 2, cfg.Nlev + 1),
+                            jnp.float64)
+    gK = jax.random.normal(jax.random.key(3), (W, K, L, 3), jnp.float64)
+    uK = jax.random.uniform(jax.random.key(4), (W, K, cfg.Nlev + 1),
+                            jnp.float64)
+    us = jax.random.uniform(jax.random.key(5), (), jnp.float64)
+
+    outs = {}
+    for mono in (True, False):
+        s2 = make_system(cfg.replace(bis_monoshot=mono))
+        outs[mono] = bis.fused_end_bisections(
+            s2, tables, key, paths, 3, active, cfg.Nlev,
+            rand=(None, g2, u2))
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14,
+                                   err_msg="fused ends")
+    assert int(np.sum(np.asarray(outs[True][1]))) > 0
+
+    outs = {}
+    for mono in (True, False):
+        s2 = make_system(cfg.replace(bis_monoshot=mono))
+        outs[mono] = bis.bisection_multi(
+            s2, tables, key, paths, [1, 4, 6], active, cfg.Nlev,
+            rand=(us, gK, uK))
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14,
+                                   err_msg="bisection_multi")
+    assert int(np.sum(np.asarray(outs[True][1]))) > 0
