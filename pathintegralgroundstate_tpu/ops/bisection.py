@@ -357,6 +357,12 @@ def _end_bisection_monoshot(system: System, tables: Tables, key, paths, ip,
             if tail else ib_rows, fold=f_seg, fold_sub=(1, 2))
         alive = _monoshot_accept(active, rows, u_acc, nlev, gate=True)
     else:
+        # NOTE (round 5): splitting the terminal gate row into its own
+        # 1-row kernel (so the interior rows run need_wf=False, saving the
+        # masked u-passes) measured 223 vs 122 ms/step at W=1024 and 854
+        # vs 827 at W=4096 — the single L-row call fuses better than the
+        # 1 + (L-1) split despite the extra masked arithmetic.  Keep the
+        # one-call form.
         rows = delta_action_rows(
             system, tables, R_rows, xnew_rows, xold_rows, ip, ib_rows)
         A = jnp.asarray(_level_assign(nlev, True), rows.dtype)
