@@ -104,7 +104,14 @@ def log_trial_wf_params(system: System, R, Rm, a_ho=None):
 def local_energy_params(system: System, R, Rm, a_ho=None):
     """Mixed/variational estimator E_L(R; Rm, a_ho) at one slice — the
     closed-form ops/estimators.local_energy with the parameters traced
-    (sample_mod.f90:154-319 semantics).  Returns (E, Kin, Pot)."""
+    (sample_mod.f90:154-319 semantics).  Returns (E, Kin, Pot).
+
+    a_ho parameterizes the TRIAL WF only; the trap POTENTIAL (the
+    Hamiltonian) always uses the static cfg.a_ho.  (The reference ties
+    the two to one namelist value, system_mod.f90:213-252 — that is the
+    exact-ansatz special case a_ho == cfg.a_ho; decoupling them is what
+    makes a_ho a genuine variational parameter, with the ideal-gas
+    optimum exactly at a_ho = cfg.a_ho.)"""
     cfg = system.cfg
     d = cfg.dim
     m, r, xij = _pair_geometry(system, R)
@@ -118,8 +125,9 @@ def local_energy_params(system: System, R, Rm, a_ho=None):
     F = jnp.sum((dudr / r)[..., None] * xij, axis=1)  # [N, D]
     if cfg.trap:
         a = jnp.asarray(a_ho if a_ho is not None else cfg.a_ho, R.dtype)
+        a_pot = jnp.asarray(cfg.a_ho, R.dtype)  # the Hamiltonian's trap
         F = F + (-(R / a ** 2))
-        pot = pot + jnp.sum(0.5 * jnp.sum(R ** 2 / a ** 4, axis=-1))
+        pot = pot + jnp.sum(0.5 * jnp.sum(R ** 2 / a_pot ** 4, axis=-1))
         lap = lap + 0.5 * jnp.sum(jnp.sum(-1.0 / a ** 2
                                           * jnp.ones_like(R), axis=-1))
     kin = -0.5 * (2.0 * lap + jnp.sum(F * F))
@@ -130,27 +138,24 @@ def total_action_params(system: System, paths_w, Rm, a_ho=None):
     """Full 4th-order action S(paths; Rm, a_ho) of one walker's worldline
     (ops/total_action.total_action with the variational parameters as
     explicit differentiable arguments).  The trial WF enters only at the
-    end slices; the Chin potential/F^2/spring terms carry no Rm dependence
-    but keep the a_ho trap dependence under trap geometry."""
+    end slices.  a_ho parameterizes the TRIAL WF only (the trap
+    POTENTIAL terms of the action are the Hamiltonian's, cfg.a_ho —
+    see local_energy_params)."""
     M = system.M
     dt = system.cfg.dt
     wv, wf = chin_weights(M, dt, paths_w.dtype)
-    # pair part of V and F^2 (Rm-independent); trap one-body terms with the
-    # traced a_ho are added per slice below
+    # pair part of V and F^2 (Rm-independent); the trap one-body action
+    # terms use the STATIC Hamiltonian cfg.a_ho
     if system.cfg.trap:
-        a = jnp.asarray(a_ho if a_ho is not None else system.cfg.a_ho,
-                        paths_w.dtype)
-        # pair_pot's closed trap terms use the STATIC cfg.a_ho, so compute
-        # the pair-only part by a temporary PBC=False geometry-free sum
+        a_pot = jnp.asarray(system.cfg.a_ho, paths_w.dtype)
         m_all, r_all, _ = jax.vmap(lambda x: _pair_geometry(system, x))(
             paths_w)
         pot = 0.5 * jnp.sum(
             jnp.where(m_all, system.potential.v(r_all), 0.0), axis=(-1, -2))
-        pot = pot + jnp.sum(0.5 * jnp.sum(paths_w ** 2 / a ** 4, axis=-1),
-                            axis=-1)
-        # the Chin F^2 is the POTENTIAL force (pair + trap gradient with
-        # the traced a_ho), not the WF force
-        f2 = jax.vmap(lambda x: _trap_f2(system, x, a))(paths_w)
+        pot = pot + jnp.sum(
+            0.5 * jnp.sum(paths_w ** 2 / a_pot ** 4, axis=-1), axis=-1)
+        # the Chin F^2 is the POTENTIAL force (pair + trap gradient)
+        f2 = jax.vmap(lambda x: _trap_f2(system, x, a_pot))(paths_w)
     else:
         pot, f2 = jax.vmap(
             lambda x: _pair_pot_f2_closed(system, x))(paths_w)

@@ -107,3 +107,46 @@ def test_vmc_optimization_moves_toward_optimum():
     E1 = float(var.vmc_energy(system, Rs, jnp.asarray(Rm)))
     assert Rm > 1.05, Rm  # moved toward the optimum from below
     assert E1 < E0 + 0.5  # energy did not blow up (stochastic, loose)
+
+
+def test_aho_optimization_exact_optimum():
+    """a_ho as a GENUINE variational parameter (WF-only; the trap
+    Hamiltonian stays at cfg.a_ho): for the ideal trapped gas the exact
+    variational energy is E(a)/N = (d/4)(1/a^2 + a^2/a_t^4), minimized at
+    a = a_t with E/N = d/2.  Gradient descent from a bad a must converge
+    onto the trap length, and the analytic curve must match."""
+    cfg = SimConfig(dim=2, Np=4, trap=True, a_ho=(1.0, 1.0), dt=0.05, Nb=2,
+                    sampling="sta", Lstag=2, Nstag=1, n_walkers=256,
+                    potential="none", jastrow="none", dtype="float64",
+                    seed=13)
+    system = make_system(cfg)
+    key = jax.random.key(2)
+    Rs = 0.7 * jax.random.normal(key, (256, cfg.Np, 2), jnp.float64)
+
+    def E_of(a):
+        # sample |psi_a|^2 fresh, then the estimator is exact-on-average
+        k = jax.random.key(5)
+        R2, _ = var.vmc_sweep(system, k, Rs, jnp.asarray(1.2), 0.7,
+                              nsweeps=120, a_ho=jnp.asarray([a, a]))
+        return float(var.vmc_energy(system, R2, jnp.asarray(1.2),
+                                    a_ho=jnp.asarray([a, a]))) / cfg.Np
+
+    # analytic check at two points: E(a)/N = (d/4)(1/a^2 + a^2)
+    for a in (1.0, 1.4):
+        exact = 0.5 * (1.0 / a ** 2 + a ** 2)
+        assert abs(E_of(a) - exact) < 0.07, (a, E_of(a), exact)
+
+    # gradient descent on a from 1.4 -> ~1.0
+    import jax.numpy as _jnp
+    gfn = jax.jit(jax.grad(lambda a, Rs: var.vmc_energy(
+        system, Rs, _jnp.asarray(1.2), a_ho=_jnp.stack([a, a]))))
+    a = 1.4
+    k = jax.random.key(9)
+    R2 = Rs
+    for _ in range(25):
+        k, k2 = jax.random.split(k)
+        R2, _ = var.vmc_sweep(system, k2, R2, jnp.asarray(1.2), 0.5,
+                              nsweeps=5, a_ho=jnp.asarray([a, a]))
+        g = float(gfn(jnp.asarray(a), R2)) / cfg.Np
+        a = float(np.clip(a - 0.1 * np.clip(g, -1, 1), 0.6, 2.0))
+    assert abs(a - 1.0) < 0.12, a
